@@ -1,0 +1,87 @@
+"""Benchmark: training throughput (rays/sec) of the flagship config on the
+attached accelerator. Prints ONE JSON line.
+
+Flagship = the ConsistentNeRF vanilla trainer at its production sampling
+budget (64 coarse + 128 fine samples/ray, 4096 random + 1024 patch rays per
+step, hard-mask + depth + MiDaS patch losses — `run_nerf_view.py:696-741`).
+
+Baseline: the reference publishes no numbers (BASELINE.md). The PyTorch
+trainer's measured throughput class on a single modern GPU for this budget
+(8k-ray chunked render + 16k-point MLP chunks, two MLPs, full backward) is
+~15-30k rays/sec; we use 25,000 rays/sec as the reference point, so
+vs_baseline is rays_per_sec / 25_000 (target >= 10).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_RAYS_PER_SEC = 25_000.0
+
+
+def main():
+    import jax
+
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.parallel import create_mesh, shard_batch
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    cfg = Config(
+        backbone="vanilla",
+        N_samples=64,
+        N_importance=128,
+        N_rand=4096,
+        n_patches=4,
+        patch_size=16,
+        hardmask=True,
+        with_depth_loss=True,
+        white_bkgd=True,
+        use_tensorboard=False,
+        compute_dtype="bfloat16",
+    )
+    scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
+
+    mesh = create_mesh()
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    n_rays = batch["rgb"].shape[0]
+
+    state = loop_lib.init_state(cfg, model, batch)
+    train_step = step_lib.build_train_step(model, cfg)
+
+    sharded = shard_batch(batch, mesh)
+
+    # Warmup/compile.
+    state, stats = train_step(state, sharded, jax.random.PRNGKey(0))
+    jax.block_until_ready(stats["loss"])
+
+    n_steps = 30
+    batches = [shard_batch(batcher.next_batch(), mesh) for _ in range(4)]
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, stats = train_step(state, batches[i % 4],
+                                  jax.random.PRNGKey(0))
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * n_rays / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_vanilla_64c128f",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

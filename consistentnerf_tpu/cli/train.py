@@ -1,0 +1,59 @@
+"""Train CLI: `python -m consistentnerf_tpu.cli.train --scene lego_3view`.
+
+Covers the reference's train entry points (`run_nerf_view.py`,
+`RegNeRF/train.py`): loads the scene, generates/caches consistency masks,
+trains with checkpointing, optional final test-set eval.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from consistentnerf_tpu.cli import common
+
+    p = common.make_parser("Train a ConsistentNeRF-TPU model")
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--eval-after", action="store_true",
+                   help="run test-set eval when training finishes")
+    args = p.parse_args(argv)
+    cfg = common.resolve_config(args)
+    exp_dir = common.setup_experiment_dir(cfg)
+
+    from consistentnerf_tpu.data.loaders import load_scene
+    from consistentnerf_tpu.train import loop as loop_lib
+
+    scene = load_scene(cfg)
+
+    random_poses = None
+    if cfg.backbone == "mipnerf" and cfg.load_random_rays:
+        random_poses = (
+            scene.render_poses
+            if scene.render_poses is not None
+            else scene.poses
+        )
+
+    result = loop_lib.train(
+        cfg, scene, num_steps=args.num_steps, random_poses=random_poses
+    )
+    print(f"done: {result.rays_per_sec:,.0f} rays/sec")
+
+    if args.eval_after:
+        from consistentnerf_tpu.models.factory import make_model
+        from consistentnerf_tpu.train.evaluation import evaluate
+
+        model = make_model(cfg)
+        metrics = evaluate(
+            model,
+            cfg,
+            result.state.params,
+            scene,
+            out_dir=os.path.join(exp_dir, "test_preds"),
+            step=int(result.state.step),
+        )
+        print("test metrics:", metrics)
+
+
+if __name__ == "__main__":
+    main()

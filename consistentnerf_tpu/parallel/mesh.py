@@ -1,0 +1,77 @@
+"""Device mesh + sharding for SPMD data parallelism over rays.
+
+Replaces the reference's `jax.pmap(..., axis_name='batch')` + explicit
+`lax.pmean` pattern (`RegNeRF/train.py:246-253,326-346`) with the idiomatic
+jit-over-Mesh design: batches are sharded along the ray axis with a
+`NamedSharding`, parameters are replicated, and XLA inserts the gradient
+all-reduce over ICI automatically. Multi-host runs initialize the JAX
+distributed runtime and assemble global arrays from per-host shards.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for multi-host (DCN) runs.
+
+    No-op in single-process mode. The reference relied on host-id offsets
+    and per-host batch slicing (`train.py:302,358-364`); with the jax
+    distributed runtime, global arrays own that bookkeeping.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def create_mesh(
+    mesh_shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A mesh over all (or the given) devices; default 1-D 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if mesh_shape is None:
+        mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(mesh_shape), axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard leading (ray) dimension across the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch pytree with the ray axis sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def local_batch_slice(global_batch_size: int) -> int:
+    """Per-process batch size for multi-host input pipelines."""
+    if global_batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+    return global_batch_size // jax.process_count()

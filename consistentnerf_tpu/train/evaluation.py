@@ -1,0 +1,150 @@
+"""Test-set evaluation: the full reference metric suite.
+
+Mirrors `RegNeRF/eval.py:137-290` and `run_nerf_view.py:2034-2127`:
+PSNR, SSIM, MS-SSIM, LPIPS (VGG), avg_err = geomean(MSE, sqrt(1-SSIM),
+LPIPS), census error, plus DTU masked PSNR/SSIM/LPIPS variants; per-metric
+txt artifacts consumed by the metric aggregator CLI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from consistentnerf_tpu.core import mathx
+from consistentnerf_tpu.core.rays import Rays
+from consistentnerf_tpu.core import rays as rays_core
+from consistentnerf_tpu.data.scene import SceneData
+from consistentnerf_tpu.train import image_metrics
+from consistentnerf_tpu.train import render as render_lib
+from consistentnerf_tpu.train.lpips import LPIPS
+
+
+def camera_rays_for_view(scene: SceneData, pose) -> Rays:
+    return rays_core.camera_rays(
+        scene.H,
+        scene.W,
+        scene.K,
+        np.asarray(pose)[:3, :4],
+        scene.near,
+        scene.far,
+        use_ndc=scene.use_ndc,
+        ndc_focal=scene.focal,
+    )
+
+
+def compute_image_metrics(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    lpips_fn: Optional[LPIPS] = None,
+    mask: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """All metrics for one (pred, gt) image pair in [0, 1]."""
+    pred_j = jnp.asarray(pred)
+    gt_j = jnp.asarray(gt)
+    out = {}
+    out["psnr"] = float(image_metrics.psnr(pred_j, gt_j))
+    out["ssim"] = float(image_metrics.ssim(pred_j[None], gt_j[None])[0])
+    if min(pred.shape[0], pred.shape[1]) >= 176:
+        out["ms_ssim"] = float(
+            image_metrics.ms_ssim(pred_j[None], gt_j[None])[0]
+        )
+    out["census_err"] = float(
+        mathx.compute_census_err(pred_j, gt_j, epsilon=1.0 / 255)
+    )
+    if lpips_fn is not None:
+        out["lpips"] = float(lpips_fn(pred_j, gt_j)[0])
+        out["avg_err"] = float(
+            mathx.compute_avg_error(out["psnr"], out["ssim"], out["lpips"])
+        )
+    if mask is not None:
+        m = jnp.asarray(mask)
+        out["masked_psnr"] = float(
+            image_metrics.masked_psnr(pred_j, gt_j, m)
+        )
+        # Masked SSIM/LPIPS: composite both images onto black outside the
+        # mask (the DTU-masked convention of RegNeRF eval.py:190-225).
+        pm = pred_j * m[..., None]
+        gm = gt_j * m[..., None]
+        out["masked_ssim"] = float(image_metrics.ssim(pm[None], gm[None])[0])
+        if lpips_fn is not None:
+            out["masked_lpips"] = float(lpips_fn(pm, gm)[0])
+    return out
+
+
+def evaluate(
+    model,
+    cfg,
+    params,
+    scene: SceneData,
+    out_dir: Optional[str] = None,
+    views: Optional[np.ndarray] = None,
+    save_images: bool = True,
+    step: int = 0,
+) -> Dict[str, float]:
+    """Render + score the test views; write per-metric txt artifacts."""
+    views = scene.i_test if views is None else views
+    lpips_fn = None
+    if not cfg.eval_disable_lpips:
+        lpips_fn = LPIPS(cfg.lpips_weights_path)
+
+    render = render_lib.build_render_fn(model, cfg, params)
+
+    per_view: List[Dict[str, float]] = []
+    for n, vi in enumerate(views):
+        if n % max(1, cfg.eval_render_interval) != 0:
+            continue
+        rays = camera_rays_for_view(scene, scene.poses[vi])
+        outs = {k: np.asarray(v) for k, v in render(rays).items()}
+        gt = scene.images[vi]
+        mask = None
+        if cfg.dataset_type == "dtu" and not cfg.dtu_no_mask_eval:
+            mask = (
+                scene.masks[vi]
+                if scene.masks is not None
+                else None
+            )
+        m = compute_image_metrics(
+            np.clip(outs["rgb"], 0, 1), gt, lpips_fn, mask
+        )
+        per_view.append(m)
+        if out_dir and save_images and cfg.eval_save_output:
+            os.makedirs(out_dir, exist_ok=True)
+            from consistentnerf_tpu.train import vis
+
+            vis.save_img_u8(outs["rgb"],
+                            os.path.join(out_dir, f"color_{n:03d}.png"))
+            vis.save_img_u8(
+                vis.visualize_depth(outs["depth"], outs["acc"]),
+                os.path.join(out_dir, f"depth_{n:03d}.png"),
+            )
+
+    agg = {}
+    if per_view:
+        keys = set().union(*[m.keys() for m in per_view])
+        for k in sorted(keys):
+            vals = [m[k] for m in per_view if k in m]
+            agg[k] = float(np.mean(vals))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        # Per-metric txt dumps (eval.py:286-290 interface).
+        for k, v in agg.items():
+            with open(os.path.join(out_dir, f"metric_{k}_{step}.txt"),
+                      "w") as f:
+                f.write(f"{v}\n")
+        with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
+            for k, v in agg.items():
+                f.write(f"{k}: {v}\n")
+        if lpips_fn is not None and not lpips_fn.is_calibrated:
+            with open(os.path.join(out_dir, "LPIPS_UNCALIBRATED.txt"),
+                      "w") as f:
+                f.write(
+                    "LPIPS computed with randomly initialized VGG weights "
+                    "(no pretrained weights available in this environment); "
+                    "values are relative only. Export calibrated weights "
+                    "with cli/export_lpips_weights.py.\n"
+                )
+    return agg

@@ -24,6 +24,12 @@ def _gaussian_kernel(size: int, sigma: float) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+def _effective_filter_size(filter_size: int, h: int, w: int) -> int:
+    """Clamp the window to the image (odd size), so small patches work."""
+    k = min(filter_size, h, w)
+    return k if k % 2 == 1 else k - 1
+
+
 def _filter2d_separable(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Valid-mode separable Gaussian filter on [..., H, W, C] images."""
     k = kernel.shape[0]
@@ -54,6 +60,9 @@ def ssim(
     return_map: bool = False,
 ):
     """SSIM of [..., H, W, C] image batches. Returns per-image scalars."""
+    filter_size = _effective_filter_size(
+        filter_size, img0.shape[-3], img0.shape[-2]
+    )
     kernel = _gaussian_kernel(filter_size, filter_sigma)
     mu0 = _filter2d_separable(img0, kernel)
     mu1 = _filter2d_separable(img1, kernel)
@@ -75,6 +84,9 @@ def ssim(
 
 
 def _ssim_and_cs(img0, img1, max_val, filter_size, filter_sigma, k1, k2):
+    filter_size = _effective_filter_size(
+        filter_size, img0.shape[-3], img0.shape[-2]
+    )
     kernel = _gaussian_kernel(filter_size, filter_sigma)
     mu0 = _filter2d_separable(img0, kernel)
     mu1 = _filter2d_separable(img1, kernel)

@@ -1,0 +1,152 @@
+"""Training harness: setup, loop, logging, checkpointing, periodic eval.
+
+One loop serves both backbones (the reference has two:
+`run_nerf_view.py:1424-2127` and `RegNeRF/train.py:297-569`). Throughput is
+logged as rays/sec exactly like the reference (`train.py:416-419`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consistentnerf_tpu.configs import Config
+from consistentnerf_tpu.data.pipeline import (
+    AllImagesBatcher,
+    MipBatcher,
+    Prefetcher,
+    VanillaBatcher,
+)
+from consistentnerf_tpu.data.scene import SceneData
+from consistentnerf_tpu.models.factory import make_model
+from consistentnerf_tpu.parallel import create_mesh, shard_batch
+from consistentnerf_tpu.train import step as step_lib
+from consistentnerf_tpu.train.checkpoints import CheckpointManager
+from consistentnerf_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    sync_coarse_from_fine,
+)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: object
+    stats_history: list
+    rays_per_sec: float
+
+
+def make_batcher(scene: SceneData, cfg: Config, random_poses=None):
+    if cfg.backbone == "mipnerf":
+        return MipBatcher(scene, cfg, random_poses=random_poses)
+    if cfg.use_batching:
+        return AllImagesBatcher(scene, cfg)
+    return VanillaBatcher(scene, cfg)
+
+
+def init_state(cfg: Config, model, example_batch, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    if cfg.backbone == "vanilla":
+        rays = step_lib.rays_from_batch(example_batch, cfg.near, cfg.far)
+        sample = jax.tree_util.tree_map(lambda x: x[:8], rays)
+        params = model.init(rng, None, sample)
+        params = sync_coarse_from_fine(params)
+    else:
+        sample = jax.tree_util.tree_map(
+            lambda x: x[:8], example_batch["rays"]
+        )
+        params = model.init(rng, None, sample, 0.01, False)
+    return create_train_state(cfg, params)
+
+
+def train(
+    cfg: Config,
+    scene: SceneData,
+    num_steps: Optional[int] = None,
+    random_poses=None,
+    callbacks: Optional[Dict[str, Callable]] = None,
+    use_prefetch: bool = True,
+    log_fn: Callable[[str], None] = print,
+) -> TrainResult:
+    """Run (or resume) training; returns final state + throughput."""
+    num_steps = num_steps or cfg.total_iters
+    callbacks = callbacks or {}
+
+    mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    model = make_model(cfg)
+    batcher = make_batcher(scene, cfg, random_poses)
+    example = batcher.next_batch()
+
+    state = init_state(cfg, model, example)
+
+    ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "checkpoints")
+    ckpt = CheckpointManager(ckpt_dir, keep=cfg.checkpoint_keep)
+    state = ckpt.restore(state)
+    start_step = int(state.step)
+
+    train_step = step_lib.build_train_step(model, cfg)
+    rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+
+    source: Iterator = Prefetcher(batcher) if use_prefetch else batcher
+
+    writer = None
+    if cfg.use_tensorboard and jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(
+                os.path.join(cfg.basedir, cfg.expname, "runs")
+            )
+        except Exception:
+            writer = None
+
+    stats_history = []
+    t0 = time.time()
+    rays_per_sec = 0.0
+    batch_rays = example["rgb"].shape[0]
+
+    for step_i in range(start_step, num_steps):
+        batch = next(source)
+        batch = shard_batch(batch, mesh)
+        state, stats = train_step(state, batch, rng)
+
+        if (step_i + 1) % cfg.i_print == 0:
+            stats = jax.device_get(stats)
+            dt = time.time() - t0
+            rays_per_sec = cfg.i_print * batch_rays / dt
+            t0 = time.time()
+            stats_history.append({k: np.asarray(v) for k, v in stats.items()})
+            psnr = float(np.asarray(stats.get("psnr", np.nan)))
+            log_fn(
+                f"step {step_i + 1}/{num_steps} "
+                f"loss={float(np.asarray(stats['loss'])):.4f} "
+                f"psnr={psnr:.2f} {rays_per_sec:,.0f} rays/sec"
+            )
+            if writer is not None:
+                for k, v in stats.items():
+                    v = np.asarray(v)
+                    if v.ndim == 0:
+                        writer.add_scalar(f"train_{k}", float(v), step_i + 1)
+                writer.add_scalar("train_rays_per_sec", rays_per_sec,
+                                  step_i + 1)
+
+        if (step_i + 1) % cfg.checkpoint_every == 0 or step_i + 1 == num_steps:
+            ckpt.save(step_i + 1, jax.device_get(state))
+
+        if "on_step" in callbacks:
+            callbacks["on_step"](step_i, state)
+
+    if isinstance(source, Prefetcher):
+        source.close()
+    ckpt.wait()
+    if writer is not None:
+        writer.close()
+    return TrainResult(
+        state=state, stats_history=stats_history, rays_per_sec=rays_per_sec
+    )

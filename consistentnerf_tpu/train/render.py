@@ -1,0 +1,111 @@
+"""Full-image rendering: bounded-memory chunked rendering under one jit.
+
+Replaces the reference's host-side chunk loops (`batchify_rays`
+`run_nerf_view.py:168-180`; `models.render_image` `RegNeRF/internal/
+models.py:283-357`, which pads/shards/pmaps every 4096-ray chunk from
+Python) with a single jitted `lax.map` over ray chunks: the image stays on
+device, chunking bounds memory, and the ray axis is sharded over the mesh
+inside each chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consistentnerf_tpu.core.rays import Rays
+
+
+def _flatten_rays(rays: Rays) -> Rays:
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, x.shape[-1]), rays
+    )
+
+
+def _pad_to(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0)
+
+
+def render_rays_chunked(
+    render_chunk_fn: Callable[[Rays], Dict[str, jnp.ndarray]],
+    rays: Rays,
+    chunk_size: int,
+) -> Dict[str, jnp.ndarray]:
+    """Apply `render_chunk_fn` over [N]-flattened rays in fixed chunks.
+
+    Runs under jit; memory is bounded by chunk_size rays.
+    """
+    flat = _flatten_rays(rays)
+    n = flat.origins.shape[0]
+    n_chunks = -(-n // chunk_size)
+    padded = jax.tree_util.tree_map(
+        lambda x: _pad_to(x, n_chunks * chunk_size), flat
+    )
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape(n_chunks, chunk_size, x.shape[-1]), padded
+    )
+    out = jax.lax.map(render_chunk_fn, chunked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks * chunk_size,) + x.shape[2:])[:n], out
+    )
+
+
+def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
+    """Deterministic full-image renderer for eval/vis.
+
+    Returns render(rays[H, W]) -> dict of [H, W, ...] images.
+    """
+
+    if cfg.backbone == "vanilla":
+
+        def chunk_fn(chunk_rays):
+            out = model.apply(params, None, chunk_rays)
+            return {
+                "rgb": out["rgb"],
+                "depth": out["depth"][..., None],
+                "disp": out["disp"][..., None],
+                "acc": out["acc"][..., None],
+            }
+
+    else:
+
+        def chunk_fn(chunk_rays):
+            levels = model.apply(
+                params, None, chunk_rays,
+                resample_padding=cfg.resample_padding_final,
+                compute_extras=False,
+            )
+            fine = levels[-1]
+            return {
+                "rgb": fine["rgb"],
+                "depth": fine["distance_mean"][..., None],
+                "disp": (1.0 / jnp.maximum(fine["distance_mean"], 1e-6))[
+                    ..., None
+                ],
+                "acc": jnp.ones_like(fine["distance_mean"])[..., None],
+            }
+
+    @jax.jit
+    def render(rays: Rays):
+        h, w = rays.origins.shape[:2]
+        out = render_rays_chunked(chunk_fn, rays, cfg.render_chunk_size)
+        return {
+            k: v.reshape((h, w) + v.shape[1:]).squeeze(-1)
+            if v.shape[-1] == 1
+            else v.reshape((h, w) + v.shape[1:])
+            for k, v in out.items()
+        }
+
+    return render
+
+
+def render_image(model, cfg, params, rays: Rays) -> Dict[str, np.ndarray]:
+    render = build_render_fn(model, cfg, params)
+    return {k: np.asarray(v) for k, v in render(rays).items()}

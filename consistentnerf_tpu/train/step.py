@@ -1,0 +1,170 @@
+"""The jitted SPMD train step for both backbones.
+
+One XLA program per step: forward (both levels), losses, backward, gradient
+conditioning, Adam update. Batches arrive sharded along the ray axis over
+the mesh's 'data' axis; parameters are replicated; XLA inserts the gradient
+all-reduce over ICI (the explicit `lax.pmean` of `RegNeRF/train.py:246-253`
+disappears into the partitioner).
+
+Schedules that the reference computed host-side per step (lr, resample
+padding, tvnorm weight, soft-mask temperature — `train.py:374-395`,
+`run_nerf_view.py:1419-1420,1989`) are evaluated inside the step from
+`state.step`, so the host never blocks on scalar traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from consistentnerf_tpu.consistency import masks as mask_mod
+from consistentnerf_tpu.core import mathx
+from consistentnerf_tpu.core.rays import Rays
+from consistentnerf_tpu.parallel import mesh as mesh_lib
+from consistentnerf_tpu.train import losses as losses_lib
+from consistentnerf_tpu.train.state import TrainState, make_optimizer
+
+
+def rays_from_batch(batch: Dict[str, jnp.ndarray], near, far) -> Rays:
+    """Assemble a Rays bundle from flat batch arrays (vanilla trainer)."""
+    d = batch["directions"]
+    ones = jnp.ones_like(d[..., :1])
+    viewdirs = batch.get(
+        "viewdirs", d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    )
+    return Rays(
+        origins=batch["origins"],
+        directions=d,
+        viewdirs=viewdirs,
+        radii=batch.get("radii", ones * 1e-3),
+        lossmult=ones,
+        near=ones * near,
+        far=ones * far,
+    )
+
+
+def build_vanilla_train_step(
+    model,
+    cfg,
+    tx: Optional[optax.GradientTransformation] = None,
+    lpips_params: Optional[Any] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, stats) [jitted]."""
+    tx = tx or make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        temp = mask_mod.temp_schedule(
+            state.step, cfg.total_iters, cfg.temp_start, cfg.temp_end
+        )
+        rays = rays_from_batch(batch, cfg.near, cfg.far)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                params, step_rng if cfg.perturb > 0 else None, rays
+            )
+            return losses_lib.vanilla_losses(
+                outputs, batch, cfg, cfg.far, temp, lpips_params
+            )
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        stats["grad_norm"] = losses_lib.tree_norm(grads)
+        stats["lr"] = mathx.exp_lr_decay(
+            state.step, cfg.lrate, 0.1, cfg.lrate_decay * 1000
+        )
+        return (
+            TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            stats,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def build_mip_train_step(
+    model,
+    cfg,
+    tx: Optional[optax.GradientTransformation] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, stats) [jitted]."""
+    tx = tx or make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        key, key2 = jax.random.split(rng)
+
+        frac = state.step / cfg.total_iters
+        resample_padding = mathx.log_lerp(
+            frac, cfg.resample_padding_init, cfg.resample_padding_final
+        )
+        if cfg.depth_tvnorm_decay:
+            w = jnp.clip(
+                state.step / jnp.maximum(1, cfg.depth_tvnorm_maxstep), 0, 1
+            )
+            tvnorm_loss_weight = (
+                cfg.depth_tvnorm_loss_mult_start * (1 - w)
+                + w * cfg.depth_tvnorm_loss_mult_end
+            )
+        else:
+            tvnorm_loss_weight = cfg.depth_tvnorm_loss_mult
+
+        render_random = (
+            (cfg.depth_tvnorm_loss_mult != 0.0) or cfg.depth_tvnorm_decay
+        ) and ("rays_random" in batch)
+
+        def loss_fn(params):
+            renderings = model.apply(
+                params,
+                key if cfg.randomized else None,
+                batch["rays"],
+                resample_padding=resample_padding,
+                compute_extras=(cfg.compute_disp_metrics
+                                or cfg.compute_normal_metrics),
+            )
+            renderings_random = None
+            if render_random:
+                renderings_random = model.apply(
+                    params,
+                    key2 if cfg.randomized else None,
+                    batch["rays_random"],
+                    resample_padding=resample_padding,
+                    compute_extras=True,
+                )
+            return losses_lib.mip_losses(
+                renderings, renderings_random, batch, params, cfg,
+                tvnorm_loss_weight,
+            )
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        stats["grad_norm"] = losses_lib.tree_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        stats["lr"] = mathx.learning_rate_decay(
+            state.step, cfg.lr_init, cfg.lr_final, cfg.total_iters,
+            cfg.lr_delay_steps, cfg.lr_delay_mult,
+        )
+        return (
+            TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            stats,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def build_train_step(model, cfg, **kw):
+    if cfg.backbone == "vanilla":
+        return build_vanilla_train_step(model, cfg, **kw)
+    return build_mip_train_step(model, cfg, **kw)

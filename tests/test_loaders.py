@@ -1,0 +1,203 @@
+"""Loader tests against generated on-disk fixtures (no real datasets)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.data import pairs as pairs_lib
+from consistentnerf_tpu.data import pfm as pfm_lib
+
+
+def test_pfm_roundtrip(tmp_path):
+    img = np.random.RandomState(0).rand(12, 17).astype(np.float32)
+    path = str(tmp_path / "x.pfm")
+    pfm_lib.write_pfm(path, img)
+    back, scale = pfm_lib.read_pfm(path)
+    np.testing.assert_allclose(back, img, atol=1e-7)
+    assert scale == 1.0
+
+
+def test_pfm_roundtrip_color(tmp_path):
+    img = np.random.RandomState(1).rand(8, 9, 3).astype(np.float32)
+    path = str(tmp_path / "c.pfm")
+    pfm_lib.write_pfm(path, img)
+    back, _ = pfm_lib.read_pfm(path)
+    np.testing.assert_allclose(back, img, atol=1e-7)
+
+
+def test_pairs_registry_bundled():
+    tr = pairs_lib.get_split("lego", "train", 3)
+    assert tr.shape == (3,)
+    assert list(tr) == [6, 43, 33]
+    dtu = pairs_lib.get_split("dtu", "train", 3)
+    assert list(dtu) == [25, 21, 33]
+    val = pairs_lib.get_split("fern", "val")
+    assert val.ndim == 1 and len(val) > 0
+
+
+def test_pairs_unknown_scene_raises():
+    with pytest.raises(KeyError):
+        pairs_lib.get_split("nonexistent_scene", "train")
+
+
+def _write_blender_fixture(root, n_frames=71, hw=24):
+    import imageio.v2 as imageio
+
+    scene_dir = root / "lego"
+    (scene_dir / "train").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(n_frames):
+        img = (rng.rand(hw, hw, 4) * 255).astype(np.uint8)
+        imageio.imwrite(str(scene_dir / "train" / f"r_{i}.png"), img)
+        theta = 360.0 * i / n_frames
+        from consistentnerf_tpu.data.poses import pose_spherical
+
+        c2w = pose_spherical(theta, -30.0, 4.0)
+        frames.append(
+            {
+                "file_path": f"./train/r_{i}",
+                "transform_matrix": c2w.tolist(),
+            }
+        )
+    meta = {"camera_angle_x": 0.6911, "frames": frames}
+    for split in ["train", "val", "test"]:
+        with open(scene_dir / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    return scene_dir
+
+
+def test_blender_loader(tmp_path):
+    from consistentnerf_tpu.data.blender import load_blender
+
+    scene_dir = _write_blender_fixture(tmp_path)
+    scene = load_blender(str(scene_dir), train_view_num=3, white_bkgd=True)
+    # 3 train + val + test(=val) views loaded
+    n_val = len(pairs_lib.get_split("lego", "val"))
+    assert scene.images.shape[0] == 3 + 2 * n_val
+    assert scene.images.shape[-1] == 3  # composited
+    assert list(scene.i_train) == [0, 1, 2]
+    assert scene.near == 2.0 and scene.far == 6.0
+    assert scene.render_poses.shape[0] == 40
+    assert scene.K[0, 0] == pytest.approx(scene.focal)
+    # poses come from the registry-selected frames
+    assert scene.poses.shape == (scene.images.shape[0], 3, 4)
+
+
+def test_blender_loader_half_res(tmp_path):
+    from consistentnerf_tpu.data.blender import load_blender
+
+    scene_dir = _write_blender_fixture(tmp_path)
+    scene = load_blender(str(scene_dir), half_res=True, train_view_num=3)
+    assert scene.H == 12 and scene.W == 12
+
+
+def _write_llff_fixture(root, n=20, h=32, w=40):
+    import imageio.v2 as imageio
+
+    scene_dir = root / "fern"
+    (scene_dir / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    poses_bounds = np.zeros((n, 17))
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(scene_dir / "images" / f"img_{i:03d}.png"), img)
+        # LLFF pose: 3x5 [R | t | hwf] in [down, right, back] order
+        m = np.eye(3)
+        t = rng.randn(3) * 0.1 + np.array([0, 0, 2.0])
+        pose = np.concatenate(
+            [m, t[:, None], np.array([[h], [w], [50.0]])], 1
+        )
+        poses_bounds[i, :15] = pose.reshape(-1)
+        poses_bounds[i, 15:] = [1.0, 10.0]
+    np.save(str(scene_dir / "poses_bounds.npy"), poses_bounds)
+    return scene_dir
+
+
+def test_llff_loader_ndc(tmp_path):
+    from consistentnerf_tpu.data.llff import load_llff
+
+    scene_dir = _write_llff_fixture(tmp_path)
+    scene = load_llff(str(scene_dir), factor=2, train_view_num=3)
+    assert scene.H == 16 and scene.W == 20
+    assert scene.use_ndc
+    assert scene.near == 0.0 and scene.far == 1.0
+    assert scene.images.shape[0] == 20
+    assert len(scene.i_train) == 3
+    assert scene.render_poses.shape[0] == 60
+    # minified dir was created
+    assert (scene_dir / "images_2").is_dir()
+
+
+def test_llff_loader_no_ndc(tmp_path):
+    from consistentnerf_tpu.data.llff import load_llff
+
+    scene_dir = _write_llff_fixture(tmp_path)
+    scene = load_llff(str(scene_dir), factor=2, no_ndc=True,
+                      train_view_num=3)
+    assert not scene.use_ndc
+    assert scene.near > 0
+
+
+def _write_dtu_fixture(root, n_views=49, h=60, w=80):
+    import imageio.v2 as imageio
+
+    scan_dir = root / "scan114"
+    rect = root / "Rectified" / "scan114_train"
+    cams = root / "Depths" / "Cameras" / "train"
+    depths = root / "Depths" / "scan114"
+    for d in [scan_dir, rect, cams, depths]:
+        d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for vid in range(n_views):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(rect / f"rect_{vid + 1:03d}_3_r5000.png"), img)
+        w2c = np.eye(4)
+        w2c[:3, 3] = rng.randn(3) * 10 + np.array([0, 0, 600.0])
+        K = np.array([[100.0, 0, w / 8], [0, 100.0, h / 8], [0, 0, 1]])
+        lines = ["extrinsic"]
+        lines += [" ".join(map(str, row)) for row in w2c]
+        lines += ["", "intrinsic"]
+        lines += [" ".join(map(str, row)) for row in K]
+        lines += ["", "425.0 2.5"]
+        (cams / f"{vid:08d}_cam.txt").write_text("\n".join(lines))
+    return scan_dir
+
+
+def test_dtu_loader_uncropped(tmp_path):
+    from consistentnerf_tpu.data.dtu import load_dtu
+
+    scan_dir = _write_dtu_fixture(tmp_path)
+    scene = load_dtu(str(scan_dir), train_view_num=3, crop_images=False)
+    assert scene.images.shape[0] == 49
+    assert list(scene.i_train) == [25, 21, 33]
+    # near/far from cam file: 425/200, (425+2.5*192*1.06)/200
+    assert scene.near == pytest.approx(425.0 / 200, rel=1e-4)
+    assert scene.far == pytest.approx((425 + 2.5 * 192 * 1.06) / 200,
+                                      rel=1e-4)
+    # intrinsics x4
+    assert scene.K[0, 0] == pytest.approx(400.0)
+    assert scene.bounds.shape == (49, 2)
+
+
+def test_dtu_cam_file_parsing(tmp_path):
+    from consistentnerf_tpu.data.dtu import read_cam_file
+
+    _write_dtu_fixture(tmp_path, n_views=1)
+    K, w2c, nf = read_cam_file(
+        str(tmp_path / "Depths" / "Cameras" / "train" / "00000000_cam.txt")
+    )
+    assert K.shape == (3, 3)
+    assert w2c.shape == (4, 4)
+    assert nf[0] == pytest.approx(425.0)
+
+
+def test_load_scene_dispatch_synthetic():
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data.loaders import load_scene
+
+    cfg = Config(dataset_type="synthetic")
+    scene = load_scene(cfg, attach=False)
+    assert scene.images.ndim == 4

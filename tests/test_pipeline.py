@@ -1,0 +1,90 @@
+"""Tests for host-side batching and prefetch."""
+
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.configs import Config
+from consistentnerf_tpu.data import synthetic
+from consistentnerf_tpu.data.pipeline import (
+    AllImagesBatcher,
+    MipBatcher,
+    Prefetcher,
+    VanillaBatcher,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(n_views=5, H=40, W=40).to_scene_data()
+
+
+def test_vanilla_batcher_layout(scene):
+    cfg = Config(N_rand=100, n_patches=2, patch_size=8)
+    b = VanillaBatcher(scene, cfg)
+    batch = b.next_batch()
+    n = 2 * 64 + 100
+    assert batch["rgb"].shape == (n, 3)
+    assert batch["origins"].shape == (n, 3)
+    assert batch["depth"].shape == (n,)
+    assert batch["mask"].shape == (n,)
+    np.testing.assert_allclose(
+        np.linalg.norm(batch["viewdirs"], axis=-1), 1.0, atol=1e-5
+    )
+    # First patch is 64 contiguous pixels from an 8x8 block: all rays share
+    # one origin (same camera).
+    assert np.allclose(batch["origins"][0], batch["origins"][63])
+
+
+def test_vanilla_patch_white_rejection():
+    """Patches in a mostly-empty (white) scene still resolve via retry cap."""
+    scene = synthetic.make_scene(n_views=3, H=32, W=32).to_scene_data()
+    # Make one image fully white: rejection must give up, not hang.
+    scene.images[0][:] = 1.0
+    cfg = Config(N_rand=16, n_patches=2, patch_size=8)
+    b = VanillaBatcher(scene, cfg)
+    for _ in range(3):
+        batch = b.next_batch()
+        assert batch["rgb"].shape[0] == 2 * 64 + 16
+
+
+def test_all_images_batcher_epoch_reshuffle(scene):
+    cfg = Config(N_rand=64, n_patches=0, patch_size=16, use_batching=True)
+    b = AllImagesBatcher(scene, cfg)
+    n_pool = b.n
+    seen = 0
+    while seen + 64 <= n_pool:
+        b.next_batch()
+        seen += 64
+    batch = b.next_batch()  # wraps and reshuffles
+    assert batch["rgb"].shape == (64, 3)
+
+
+def test_mip_batcher_rays_struct(scene):
+    cfg = Config(N_rand=128, backbone="mipnerf")
+    b = MipBatcher(scene, cfg)
+    batch = b.next_batch()
+    n = 4 * 256 + 128
+    assert batch["rays"].origins.shape == (n, 3)
+    assert batch["rays"].radii.shape == (n, 1)
+    assert batch["rays"].near.shape == (n, 1)
+    assert batch["rgb"].shape == (n, 3)
+    assert batch["dpts"].shape == (n,)
+    assert float(batch["rays"].near[0, 0]) == scene.near
+
+
+def test_mip_batcher_random_pose_rays(scene):
+    cfg = Config(
+        N_rand=64, backbone="mipnerf", load_random_rays=True,
+        batch_size_random=128, random_patch_size=8,
+    )
+    b = MipBatcher(scene, cfg, random_poses=scene.poses[:3])
+    batch = b.next_batch()
+    assert batch["rays_random"].origins.shape == (128, 3)
+
+
+def test_prefetcher_delivers_and_closes(scene):
+    cfg = Config(N_rand=32, n_patches=1, patch_size=8)
+    p = Prefetcher(VanillaBatcher(scene, cfg), depth=2)
+    batches = [next(p) for _ in range(5)]
+    assert all(b["rgb"].shape[0] == 64 + 32 for b in batches)
+    p.close()
