@@ -28,10 +28,16 @@ def main(argv=None):
 
     random_poses = None
     if cfg.backbone == "mipnerf" and cfg.load_random_rays:
-        random_poses = (
-            scene.render_poses
-            if scene.render_poses is not None
-            else scene.poses
+        from consistentnerf_tpu.data.random_poses import generate_random_poses
+
+        random_poses = generate_random_poses(
+            scene.poses[scene.i_train],
+            n_poses=cfg.n_random_poses,
+            pose_type=cfg.random_pose_type,
+            radius=cfg.random_pose_radius,
+            focusptjitter=cfg.random_pose_focusptjitter,
+            add_test_poses=cfg.random_pose_add_test_poses,
+            test_poses=scene.poses[scene.i_test],
         )
 
     result = loop_lib.train(

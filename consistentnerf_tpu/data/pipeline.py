@@ -123,6 +123,13 @@ class VanillaBatcher:
         }
         d = batch["directions"]
         batch["viewdirs"] = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+        if getattr(cfg, "ss_loss", False):
+            ref_i = int(self.rng.choice(scene.i_train))
+            batch["ref_image"] = scene.images[ref_i].astype(np.float32)
+            batch["ref_depth"] = scene.depths[ref_i].astype(np.float32)
+            batch["ref_pose"] = scene.poses[ref_i][:3, :4].astype(np.float32)
+            batch["K"] = np.asarray(scene.K, np.float32)
         self.step += 1
         return batch
 
@@ -187,6 +194,7 @@ class MipBatcher:
         scene.ensure_priors()
         self.scene = scene
         self.cfg = cfg
+        self.step = 0
         self.rng = np.random.RandomState(cfg.seed if seed is None else seed)
         self.origins, self.dirs = _np_rays(scene)
         norms = np.linalg.norm(self.dirs, axis=-1, keepdims=True)
@@ -281,6 +289,19 @@ class MipBatcher:
         }
         if self.random_poses is not None and cfg.load_random_rays:
             batch["rays_random"] = self._random_pose_patch_rays()
+
+        if cfg.anneal_nearfar:
+            from consistentnerf_tpu.data import random_poses as rp
+
+            near_i, far_i = rp.anneal_nearfar_values(
+                self.step, s.near, s.far, cfg.anneal_nearfar_steps,
+                cfg.anneal_nearfar_perc, cfg.anneal_mid_perc,
+            )
+            for k in list(batch):
+                if k.startswith("rays"):
+                    batch[k] = rp.with_annealed_nearfar(batch[k], near_i,
+                                                        far_i)
+        self.step += 1
         return batch
 
     def __iter__(self):

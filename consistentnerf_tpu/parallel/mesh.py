@@ -60,11 +60,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch pytree with the ray axis sharded."""
-    sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Device-put a host batch pytree, ray axis sharded over the mesh.
+
+    Leaves whose leading dim doesn't divide the mesh axis (scalar bounds,
+    replicated reference-view images, poses) are replicated instead — in
+    global-view jit this is a layout choice only, never a semantics one.
+    """
+    sharded = batch_sharding(mesh, axis)
+    replicated = replicated_sharding(mesh)
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis]))
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        ok = x.ndim >= 1 and x.shape[0] % max(n, 1) == 0 and x.shape[0] > 0
+        return jax.device_put(x, sharded if ok else replicated)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def local_batch_slice(global_batch_size: int) -> int:

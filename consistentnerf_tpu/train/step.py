@@ -68,9 +68,35 @@ def build_vanilla_train_step(
             outputs = model.apply(
                 params, step_rng if cfg.perturb > 0 else None, rays
             )
-            return losses_lib.vanilla_losses(
+            loss, stats = losses_lib.vanilla_losses(
                 outputs, batch, cfg, cfg.far, temp, lpips_params
             )
+            if cfg.ss_loss and "ref_image" in batch:
+                from consistentnerf_tpu.consistency import online
+
+                ss_rng, gate_rng = jax.random.split(
+                    jax.random.fold_in(step_rng, 1)
+                )
+                ss, aux = online.online_reprojection_loss(
+                    model, params, ss_rng if cfg.perturb > 0 else None,
+                    batch, cfg,
+                )
+                # Stochastic gating of the main RGB loss between the full
+                # and consistency-masked variants (run_nerf_view_test.py:
+                # 944-967 random.randint(0, 1) semantics).
+                gated = mask_mod.masked_mse(
+                    outputs["rgb"], batch["rgb"], aux["consistency_weight"]
+                )
+                use_gated = jax.random.bernoulli(gate_rng)
+                loss = (
+                    loss
+                    - stats["img_loss"]
+                    + jnp.where(use_gated, gated, stats["img_loss"])
+                    + cfg.ss_loss_mult * ss
+                )
+                stats["ss_loss"] = ss
+                stats["loss"] = loss
+            return loss, stats
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -1,0 +1,65 @@
+"""Pallas fused-MLP kernel vs the XLA oracle and the flax module."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.core import encoding
+from consistentnerf_tpu.models.mlp import NeRFMLP
+from consistentnerf_tpu.ops import fused_mlp as fm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mlp = NeRFMLP(net_depth=8, net_width=256, use_viewdirs=True)
+    pts_embed = jnp.zeros((4, 63))
+    views_embed = jnp.zeros((4, 27))
+    params = mlp.init(jax.random.PRNGKey(0), pts_embed, views_embed)
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.normal(key, (300, 3))
+    views = jax.random.normal(jax.random.PRNGKey(2), (300, 3))
+    views = views / jnp.linalg.norm(views, axis=-1, keepdims=True)
+    return mlp, params, pts, views
+
+
+def test_oracle_matches_flax_module(setup):
+    """reference_mlp_apply (kernel weight layout) == the flax module."""
+    mlp, params, pts, views = setup
+    pe = encoding.posenc_nerf(pts, 10)
+    ve = encoding.posenc_nerf(views, 4)
+    expected = mlp.apply(params, pe, ve)
+    got = fm.reference_mlp_apply(params, pts, views)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_kernel_matches_oracle_interpret(setup):
+    """Pallas kernel (interpret mode on CPU) == XLA oracle, incl. padding."""
+    _, params, pts, views = setup
+    expected = fm.reference_mlp_apply(params, pts, views)
+    got = fm.fused_mlp(params, pts, views, tile=128, interpret=True)
+    assert got.shape == (300, 4)  # 300 is not a tile multiple: pad+unpad
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_kernel_small_net_interpret():
+    mlp = NeRFMLP(net_depth=2, net_width=32, use_viewdirs=True, skips=(1,))
+    pe_dim = 3 * (1 + 2 * 4)
+    ve_dim = 3 * (1 + 2 * 2)
+    params = mlp.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, pe_dim)), jnp.zeros((2, ve_dim))
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    views = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    expected = fm.reference_mlp_apply(
+        params, pts, views, net_depth=2, skips=(1,), multires=4,
+        multires_views=2,
+    )
+    got = fm.fused_mlp(
+        params, pts, views, net_depth=2, skips=(1,), multires=4,
+        multires_views=2, tile=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)

@@ -170,3 +170,32 @@ def test_vanilla_converges_on_synthetic(scene):
     assert psnrs[-1] > psnrs[0] + 2.0, f"no convergence: {psnrs}"
     assert psnrs[-1] > 12.0, f"final psnr too low: {psnrs}"
     assert result.rays_per_sec > 0
+
+
+def test_vanilla_ss_loss_step(scene):
+    """Online-reprojection (ss_loss) variant: one step runs and is finite."""
+    cfg = tiny_vanilla_cfg(ss_loss=True, with_depth_loss=True)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    assert "ref_image" in batch and batch["ref_pose"].shape == (3, 4)
+    state = loop_lib.init_state(cfg, model, batch)
+    train_step = step_lib.build_train_step(model, cfg, donate=False)
+    new_state, stats = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["ss_loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_vanilla_ss_loss_sharded(scene):
+    """ss_loss batch (with replicated ref-view leaves) shards cleanly."""
+    cfg = tiny_vanilla_cfg(ss_loss=True, N_rand=8 * 32 - 64)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    mesh = create_mesh()
+    sharded = shard_batch(batch, mesh)
+    state = loop_lib.init_state(cfg, model, batch)
+    train_step = step_lib.build_train_step(model, cfg, donate=False)
+    _, stats = train_step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["loss"]))
