@@ -28,6 +28,50 @@ from consistentnerf_tpu.data.scene import SceneData
 
 CROP = (44, 556, 80, 720)  # rows 44:556, cols 80:720 at half resolution
 
+# The fixed pixelnerf-style DTU split used for IDR-mask evaluation
+# (RegNeRF/internal/datasets.py:1719-1721).
+PIXELNERF_TRAIN_IDX = [25, 22, 28, 40, 44, 48, 0, 8, 13]
+PIXELNERF_EXCLUDE_IDX = [3, 4, 5, 6, 7, 16, 17, 18, 19, 20, 21, 36, 37,
+                         38, 39]
+IDR_SCANS = ["scan40", "scan55", "scan63", "scan110", "scan114"]
+
+
+def pixelnerf_test_idx(num_views: int = 49):
+    import numpy as _np
+
+    excluded = set(PIXELNERF_TRAIN_IDX) | set(PIXELNERF_EXCLUDE_IDX)
+    return [i for i in _np.arange(num_views) if i not in excluded]
+
+
+def load_idr_masks(mask_path: str, scan: str, factor: int = 0,
+                   num_views: int = 49):
+    """IDR evaluation masks for the DTU test split (datasets.py:1711-1746).
+
+    Returns [n_test, H, W, 3] float masks (1 where evaluated)."""
+    import cv2
+    import numpy as np
+    from PIL import Image
+
+    if scan in IDR_SCANS:
+        maskf_fn = lambda x: os.path.join(mask_path, scan, "mask",
+                                          f"{x:03d}.png")
+    else:
+        maskf_fn = lambda x: os.path.join(mask_path, scan, f"{x:03d}.png")
+
+    masks = []
+    for idx in pixelnerf_test_idx(num_views):
+        with open(maskf_fn(idx), "rb") as f:
+            image = np.array(Image.open(f), dtype=np.float32)[:, :, :3] / 255.0
+        image = (image == 1).astype(np.float32)
+        if factor > 0:
+            h, w = image.shape[:2]
+            image = cv2.resize(
+                image, (w // factor, h // factor),
+                interpolation=cv2.INTER_NEAREST,
+            )
+        masks.append(image)
+    return np.stack(masks)
+
 
 def read_cam_file(filename: str):
     """MVSNet cam.txt: extrinsics (w2c 4x4), intrinsics (3x3), depth range."""
@@ -63,6 +107,7 @@ def load_dtu(
     num_views: int = 49,
     crop_images: bool = True,
     use_nerf_depth: bool = True,
+    split_type: str = "masknerf",
     depthdir: Optional[str] = None,
     pairs_path: Optional[str] = None,
 ) -> SceneData:
@@ -165,8 +210,19 @@ def load_dtu(
     depths_cas = np.stack(depths_cas, 0)
     bds = np.asarray(bds, np.float32)
 
-    i_train = pairs_lib.get_split("dtu", "train", train_view_num, pairs_path)
-    i_test = pairs_lib.get_split("dtu", "val", path=pairs_path)
+    if split_type == "masknerf":
+        # ConsistentNeRF split: the pairs registry
+        # (datasets.py:1655-1681 'masknerf' branch / pairs.th dtu_train).
+        i_train = pairs_lib.get_split("dtu", "train", train_view_num,
+                                      pairs_path)
+        i_test = pairs_lib.get_split("dtu", "val", path=pairs_path)
+    elif split_type == "pixelnerf":
+        import numpy as _np
+
+        i_train = _np.asarray(PIXELNERF_TRAIN_IDX[:train_view_num])
+        i_test = _np.asarray(pixelnerf_test_idx(num_views))
+    else:
+        raise ValueError(f"Unknown dtu split_type {split_type!r}")
 
     H, W = images.shape[1:3]
     focal = float(intrinsic[0, 0])

@@ -246,6 +246,7 @@ def load_scene(cfg, attach=True) -> SceneData:
             light_idx=cfg.dtu_light_cond,
             num_views=cfg.dtu_max_images,
             use_nerf_depth=cfg.use_nerf_depth or True,
+            split_type=cfg.dtu_split_type,
             depthdir=cfg.depthdir,
         )
     elif cfg.dataset_type == "deepvoxels":

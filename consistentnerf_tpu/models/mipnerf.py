@@ -95,10 +95,23 @@ class MipNeRF(nn.Module):
             if self.disable_integration:
                 samples = (samples[0], jnp.zeros_like(samples[1]))
 
+            # Flatten (rays, samples) for the MLP: 2-D matmuls tile onto
+            # the MXU without the lane-padded 3-D batched-dot layouts.
+            means, covs = samples
+            n, s = means.shape[:2]
+            samples_flat = (
+                means.reshape(n * s, means.shape[-1]),
+                covs.reshape((n * s,) + covs.shape[len(means.shape) - 1:]),
+            )
+            views_flat = None
             if self.use_viewdirs:
-                rgb, density, normals = mlp(rng, samples, rays.viewdirs)
-            else:
-                rgb, density, normals = mlp(rng, samples, None)
+                views_flat = jnp.broadcast_to(
+                    rays.viewdirs[:, None, :], (n, s, 3)
+                ).reshape(n * s, 3)
+            rgb, density, normals = mlp(rng, samples_flat, views_flat)
+            rgb = rgb.reshape(n, s, rgb.shape[-1])
+            density = density.reshape(n, s)
+            normals = normals.reshape(n, s, normals.shape[-1])
 
             weights, _, _, delta = rendering.compute_alpha_weights(
                 density, t_vals, rays.directions

@@ -152,10 +152,16 @@ class MipMLP(nn.Module):
                 viewdirs, min_deg=0, max_deg=self.deg_view, append_identity=True
             )
             bottleneck = dense_layer(self.net_width)(x)
-            viewdirs_enc = jnp.broadcast_to(
-                viewdirs_enc[..., None, :].astype(self.dtype),
-                list(bottleneck.shape[:-1]) + [viewdirs_enc.shape[-1]],
-            )
+            if viewdirs_enc.ndim < bottleneck.ndim:
+                # Per-ray viewdirs against [..., S, W] samples: broadcast
+                # over the samples axis (models.py:269-271). Pre-flattened
+                # inputs arrive with matching rank and skip this.
+                viewdirs_enc = jnp.broadcast_to(
+                    viewdirs_enc[..., None, :].astype(self.dtype),
+                    list(bottleneck.shape[:-1]) + [viewdirs_enc.shape[-1]],
+                )
+            else:
+                viewdirs_enc = viewdirs_enc.astype(self.dtype)
             x = jnp.concatenate([bottleneck, viewdirs_enc], axis=-1)
             for _ in range(self.net_depth_viewdirs):
                 x = dense_layer(self.net_width_viewdirs)(x)

@@ -37,7 +37,10 @@ class VanillaNeRF(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.coarse = NeRFMLP(
+        # Remat the MLPs: backward recomputes the 256-wide activations
+        # instead of storing them for every (ray, sample) point.
+        mlp_cls = nn.remat(NeRFMLP, prevent_cse=False)
+        self.coarse = mlp_cls(
             net_depth=self.net_depth,
             net_width=self.net_width,
             use_viewdirs=self.use_viewdirs,
@@ -45,7 +48,7 @@ class VanillaNeRF(nn.Module):
             dtype=self.dtype,
         )
         if self.num_importance > 0:
-            self.fine = NeRFMLP(
+            self.fine = mlp_cls(
                 net_depth=self.net_depth,
                 net_width=self.net_width,
                 use_viewdirs=self.use_viewdirs,
@@ -54,16 +57,31 @@ class VanillaNeRF(nn.Module):
             )
 
     def _eval_mlp(self, mlp, pts, viewdirs):
-        """PE-encode and evaluate one MLP on [N, S, 3] points."""
-        pts_embed = encoding.posenc_nerf(pts, self.multires)
-        views_embed = None
+        """PE-encode and evaluate one MLP on [N, S, 3] points.
+
+        Points are flattened to [N*S, C] first: on TPU, keeping the
+        samples axis gives XLA 3-D batched matmuls whose small inner dims
+        (3, 60) get lane-padded to 128 in temp layouts — flat 2-D matmuls
+        tile cleanly onto the MXU. The eval is rematerialized
+        (jax.checkpoint) so the backward pass recomputes activations
+        instead of holding 8x256-wide tensors for every sample.
+        """
+        n, s = pts.shape[:2]
+        pts_flat = pts.reshape(n * s, 3)
+        views_flat = None
         if self.use_viewdirs:
-            views_embed = encoding.posenc_nerf(viewdirs, self.multires_views)
-            views_embed = jnp.broadcast_to(
-                views_embed[..., None, :],
-                list(pts.shape[:-1]) + [views_embed.shape[-1]],
+            views_flat = jnp.broadcast_to(
+                viewdirs[:, None, :], (n, s, 3)
+            ).reshape(n * s, 3)
+
+        pts_embed = encoding.posenc_nerf(pts_flat, self.multires)
+        views_embed = None
+        if views_flat is not None:
+            views_embed = encoding.posenc_nerf(
+                views_flat, self.multires_views
             )
-        return mlp(pts_embed, views_embed)
+        raw = mlp(pts_embed, views_embed)
+        return raw.reshape(n, s, raw.shape[-1])
 
     def __call__(
         self,

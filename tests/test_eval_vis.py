@@ -1,0 +1,102 @@
+"""Tests for the evaluation pipeline and visualization suite."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.configs import Config
+from consistentnerf_tpu.data import synthetic
+from consistentnerf_tpu.data.pipeline import VanillaBatcher
+from consistentnerf_tpu.models.factory import make_model
+from consistentnerf_tpu.train import evaluation, loop as loop_lib, vis
+from consistentnerf_tpu.train import render as render_lib
+
+
+@pytest.fixture(scope="module")
+def trained():
+    scene = synthetic.make_scene(n_views=5, H=32, W=32).to_scene_data()
+    cfg = Config(
+        backbone="vanilla", netdepth=2, netwidth=32, N_samples=8,
+        N_importance=4, multires=4, multires_views=2, N_rand=64,
+        n_patches=1, patch_size=8, white_bkgd=True, use_tensorboard=False,
+        render_chunk_size=256, eval_disable_lpips=True,
+    )
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    state = loop_lib.init_state(cfg, model, batcher.next_batch())
+    return scene, cfg, model, state
+
+
+def test_render_image_shapes(trained):
+    scene, cfg, model, state = trained
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out = render_lib.render_image(model, cfg, state.params, rays)
+    assert out["rgb"].shape == (32, 32, 3)
+    assert out["depth"].shape == (32, 32)
+    assert out["acc"].shape == (32, 32)
+    assert np.all(np.isfinite(out["rgb"]))
+
+
+def test_render_chunking_invariant(trained):
+    """Output must not depend on the chunk size."""
+    scene, cfg, model, state = trained
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[1])
+    out1 = render_lib.render_image(model, cfg, state.params, rays)
+    cfg2 = cfg.replace(render_chunk_size=128)
+    out2 = render_lib.render_image(model, cfg2, state.params, rays)
+    np.testing.assert_allclose(out1["rgb"], out2["rgb"], atol=1e-5)
+
+
+def test_evaluate_writes_artifacts(tmp_path, trained):
+    scene, cfg, model, state = trained
+    metrics = evaluation.evaluate(
+        model, cfg, state.params, scene, out_dir=str(tmp_path), step=7
+    )
+    assert "psnr" in metrics and "ssim" in metrics and "census_err" in metrics
+    assert os.path.isfile(tmp_path / "metric_psnr_7.txt")
+    assert os.path.isfile(tmp_path / "metrics.txt")
+    assert os.path.isfile(tmp_path / "color_000.png")
+    assert os.path.isfile(tmp_path / "depth_000.png")
+
+
+def test_metrics_aggregator_roundtrip(tmp_path, trained):
+    scene, cfg, model, state = trained
+    d1 = tmp_path / "exp1" / "test_preds"
+    d1.mkdir(parents=True)
+    (d1 / "metrics.txt").write_text("psnr: 20.0\nssim: 0.5\n")
+    d2 = tmp_path / "exp2" / "test_preds"
+    d2.mkdir(parents=True)
+    (d2 / "metrics.txt").write_text("psnr: 30.0\nssim: 0.7\n")
+    from consistentnerf_tpu.cli.metrics import collect
+
+    agg = collect([str(tmp_path / "exp1"), str(tmp_path / "exp2")])
+    assert agg["psnr"] == pytest.approx(25.0)
+    assert agg["ssim"] == pytest.approx(0.6)
+
+
+def test_visualize_depth_and_suite():
+    rng = np.random.RandomState(0)
+    depth = rng.rand(16, 16).astype(np.float32) * 4 + 2
+    acc = np.clip(rng.rand(16, 16), 0, 1).astype(np.float32)
+    img = vis.visualize_depth(depth, acc)
+    assert img.shape == (16, 16, 3)
+    assert np.all(img >= 0) and np.all(img <= 1)
+
+    suite = vis.visualize_suite(
+        {"rgb": rng.rand(16, 16, 3), "depth": depth, "acc": acc,
+         "disp": 1.0 / depth}
+    )
+    for k in ["color", "depth", "disp", "acc"]:
+        assert suite[k].shape == (16, 16, 3), k
+
+
+def test_save_img_u8(tmp_path):
+    img = np.random.RandomState(1).rand(8, 8, 3)
+    path = str(tmp_path / "x.png")
+    vis.save_img_u8(img, path)
+    import imageio.v2 as imageio
+
+    back = imageio.imread(path)
+    assert back.shape == (8, 8, 3)
