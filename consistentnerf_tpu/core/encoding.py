@@ -49,6 +49,24 @@ def pos_enc(x: jnp.ndarray, min_deg: int, max_deg: int, append_identity: bool = 
     return four_feat
 
 
+def cosine_easing_window(alpha, min_freq_log2: int = 0,
+                         max_freq_log2: int = 16):
+    """Per-frequency easing window for annealed PE (models.py:145-169).
+
+    Eases in each frequency band with a cosine as `alpha` goes from 0 to
+    num_freqs; the first 4 bands are always fully on. Returns [2, 3*bands]
+    (sin/cos rows), matching the reference's stacked output.
+    """
+    num_bands = max_freq_log2 - min_freq_log2
+    bands = jnp.linspace(min_freq_log2, max_freq_log2, num_bands)
+    x = jnp.clip(alpha - bands, 0.0, 1.0)
+    values = 0.5 * (1 + jnp.cos(jnp.pi * x + jnp.pi))
+    values = values.reshape(-1)
+    values = jnp.concatenate([jnp.ones_like(values[:4]), values[4:]])
+    values = jnp.repeat(values.reshape(-1, 1), 3, axis=1).reshape(-1)
+    return jnp.stack([values, values])
+
+
 def expected_sin(x, x_var, compute_var: bool = False):
     """E[sin(z)] (and optionally Var[sin(z)]) for z ~ N(x, x_var) (mip.py:39)."""
     y = jnp.exp(-0.5 * x_var) * mathx.safe_sin(x)

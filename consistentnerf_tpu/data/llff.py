@@ -138,11 +138,13 @@ def load_llff(
 
     if recenter:
         poses = poses_lib.recenter_poses(poses)
+    spherify_render_poses = None
     if spherify:
-        raise NotImplementedError(
-            "spherify is supported via data.poses.spherify (360 scenes); "
-            "the ConsistentNeRF experiments are all forward-facing."
+        hwf_col = poses[:, :3, 4:]
+        poses34, spherify_render_poses, bds = poses_lib.spherify_poses(
+            poses[:, :3, :4], bds
         )
+        poses = np.concatenate([poses34, hwf_col], -1).astype(np.float32)
 
     hwf = poses[0, :3, -1]
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
@@ -185,19 +187,20 @@ def load_llff(
         near, far = 0.0, 1.0
         use_ndc = True
 
-    render_poses = poses_lib.generate_spiral_path(
-        poses_lib.poses_avg(poses),
-        poses[:, :3, 1].mean(0),
-        np.percentile(np.abs(poses[:, :3, 3]), 90, 0),
-        1.0
-        / (
-            (1 - 0.75) / (bds.min() * 0.9) + 0.75 / (bds.max() * 5.0)
-        ),
-        zdelta=bds.min() * 0.9 * 0.2,
-        zrate=0.5,
-        rots=2,
-        N=60,
-    )
+    if spherify_render_poses is not None:
+        render_poses = spherify_render_poses
+    else:
+        render_poses = poses_lib.generate_spiral_path(
+            poses_lib.poses_avg(poses),
+            poses[:, :3, 1].mean(0),
+            np.percentile(np.abs(poses[:, :3, 3]), 90, 0),
+            1.0
+            / ((1 - 0.75) / (bds.min() * 0.9) + 0.75 / (bds.max() * 5.0)),
+            zdelta=bds.min() * 0.9 * 0.2,
+            zrate=0.5,
+            rots=2,
+            N=60,
+        )
 
     K = np.array(
         [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32

@@ -69,6 +69,16 @@ class VanillaBatcher:
         cfg = self.cfg
         ps = cfg.patch_size
         h, w = target.shape[:2]
+        # During precrop, patch origins stay in the central crop
+        # (run_nerf_view.py:1479-1481).
+        if self.step < cfg.precrop_iters:
+            dh = int(h // 2 * cfg.precrop_frac)
+            dw = int(w // 2 * cfg.precrop_frac)
+            r_lo, r_hi = h // 2 - dh, max(h // 2 - dh + 1, h // 2 + dh - ps)
+            c_lo, c_hi = w // 2 - dw, max(w // 2 - dw + 1, w // 2 + dw - ps)
+        else:
+            r_lo, r_hi = 0, h - ps + 1
+            c_lo, c_hi = 0, w - ps + 1
         grid = np.stack(
             np.meshgrid(np.arange(ps), np.arange(ps), indexing="xy"), -1
         ).reshape(-1, 2)
@@ -77,8 +87,8 @@ class VanillaBatcher:
         attempts = 0
         while num < cfg.n_patches:
             attempts += 1
-            x0 = self.rng.randint(0, h - ps + 1)
-            y0 = self.rng.randint(0, w - ps + 1)
+            x0 = self.rng.randint(r_lo, r_hi)
+            y0 = self.rng.randint(c_lo, c_hi)
             idx = np.array([x0, y0]) + grid  # rows, cols
             patch_rgb = target[idx[:, 0], idx[:, 1]].mean(1)
             # Accept patches that are less than half pure-white background
@@ -92,7 +102,21 @@ class VanillaBatcher:
     def next_batch(self) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         scene = self.scene
-        img_i = int(self.rng.choice(scene.i_train))
+
+        # Pseudo-label branch (run_nerf_view.py:1520-1571): with p=0.1
+        # draw rays from a non-train (augmentation/test) view restricted
+        # to consistency-masked pixels, and downweight its losses x0.1.
+        pseudo = False
+        if (
+            cfg.use_test_pseudo_label
+            and self.step >= cfg.precrop_iters
+            and self.rng.random_sample() >= 0.9
+            and len(scene.i_test) > 0
+        ):
+            pseudo = True
+            img_i = int(self.rng.choice(scene.i_test))
+        else:
+            img_i = int(self.rng.choice(scene.i_train))
         target = scene.images[img_i]
 
         patch_idx = self._sample_patches(target)
@@ -107,9 +131,16 @@ class VanillaBatcher:
                 indexing="ij",
             )
             coords = np.stack([rows, cols], -1).reshape(-1, 2)
+        elif pseudo:
+            masked = scene.masks[img_i] > 0
+            coords = np.stack(np.nonzero(masked), -1)
+            if coords.shape[0] == 0:
+                coords = self._all_coords
         else:
             coords = self._all_coords
-        sel = self.rng.choice(coords.shape[0], size=cfg.N_rand, replace=False)
+        replace = coords.shape[0] < cfg.N_rand
+        sel = self.rng.choice(coords.shape[0], size=cfg.N_rand,
+                              replace=replace)
         select = np.concatenate([patch_idx, coords[sel]], 0)
 
         r, c = select[:, 0], select[:, 1]
@@ -123,6 +154,9 @@ class VanillaBatcher:
         }
         d = batch["directions"]
         batch["viewdirs"] = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        # Pseudo-label rays carry a x0.1 loss scale (run_nerf_view.py:
+        # 1670-1673 `loss + 0.1 * img_loss` for non-train views).
+        batch["loss_scale"] = np.float32(0.1 if pseudo else 1.0)
 
         if getattr(cfg, "ss_loss", False):
             ref_i = int(self.rng.choice(scene.i_train))

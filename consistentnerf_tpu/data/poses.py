@@ -101,6 +101,61 @@ def recenter_poses(poses):
     return poses_
 
 
+def spherify_poses(poses, bds):
+    """Recenter 360-degree captures about the point nearest all focal axes
+    and rescale to unit radius; also returns a circular render path
+    (load_llff.py:223-279)."""
+    p34_to_44 = lambda p: np.concatenate(
+        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]),
+                    [p.shape[0], 1, 1])], 1
+    )
+
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+
+    def min_line_dist(rays_o, rays_d):
+        a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
+        b_i = -a_i @ rays_o
+        return np.squeeze(
+            -np.linalg.inv((np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0))
+            @ (b_i).mean(0)
+        )
+
+    center = min_line_dist(rays_o, rays_d)
+    up = (poses[:, :3, 3] - center).mean(0)
+
+    vec0 = normalize(up)
+    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = normalize(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+
+    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(
+        poses[:, :3, :4]
+    )
+    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+
+    sc = 1.0 / rad
+    poses_reset[:, :3, 3] *= sc
+    bds = bds * sc
+    rad *= sc
+
+    centroid = np.mean(poses_reset[:, :3, 3], 0)
+    zh = centroid[2]
+    radcircle = np.sqrt(rad**2 - zh**2)
+    new_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+        camorigin = np.array(
+            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
+        )
+        up = np.array([0, 0, -1.0])
+        vec2 = normalize(camorigin)
+        vec0 = normalize(np.cross(vec2, up))
+        vec1 = normalize(np.cross(vec2, vec0))
+        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+    new_poses = np.stack(new_poses, 0)
+    return poses_reset[:, :3, :4], new_poses, bds
+
+
 def generate_spiral_path(
     c2w, up, rads, focal, zdelta, zrate, rots, N, hwf=None
 ):

@@ -25,6 +25,7 @@ def make_model(cfg):
             perturb=cfg.perturb > 0,
             net_depth=cfg.netdepth,
             net_width=cfg.netwidth,
+            remat=cfg.remat_mlp,
             dtype=dtype,
         )
     if cfg.backbone == "mipnerf":

@@ -34,12 +34,17 @@ class VanillaNeRF(nn.Module):
     perturb: bool = True  # stratified jitter when rng provided
     net_depth: int = 8
     net_width: int = 256
+    remat: bool = False  # rematerialize MLP activations (for big batches)
     dtype: Any = jnp.float32
 
     def setup(self):
-        # Remat the MLPs: backward recomputes the 256-wide activations
-        # instead of storing them for every (ray, sample) point.
-        mlp_cls = nn.remat(NeRFMLP, prevent_cse=False)
+        # Optionally remat the MLPs: backward recomputes the 256-wide
+        # activations instead of storing them per (ray, sample) point.
+        # Costs ~10% step time; required for ray batches >= ~16k on a
+        # 16 GB chip.
+        mlp_cls = (
+            nn.remat(NeRFMLP, prevent_cse=False) if self.remat else NeRFMLP
+        )
         self.coarse = mlp_cls(
             net_depth=self.net_depth,
             net_width=self.net_width,

@@ -32,7 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 1024
+# 512-point tiles keep live activations (tile x 319 fp32, several
+# buffers deep) + the 2.6 MB weight set inside the ~16 MB VMEM budget;
+# 2048 overflows scoped vmem on v5e.
+DEFAULT_TILE = 512
 
 
 def _posenc(x, num_freqs):

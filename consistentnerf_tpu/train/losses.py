@@ -94,13 +94,16 @@ def vanilla_losses(
     """
     target = batch["rgb"]
     mask = batch["mask"]
+    # Pseudo-label batches downweight the reconstruction terms x0.1
+    # (run_nerf_view.py:1670-1673); regular batches carry scale 1.
+    loss_scale = batch.get("loss_scale", jnp.array(1.0))
     stats = {}
 
     loss = jnp.array(0.0)
 
     # Fine level.
     img_loss = _rgb_loss(outputs["rgb"], target, mask, cfg, temp)
-    loss = loss + img_loss
+    loss = loss + loss_scale * img_loss
     stats["img_loss"] = img_loss
     stats["psnr"] = mathx.mse_to_psnr(
         mask_losses.img2mse(outputs["rgb"], target)
@@ -123,13 +126,13 @@ def vanilla_losses(
         depth_loss = _depth_loss(
             outputs["depth"], batch["depth"], mask, cfg, far, temp
         )
-        loss = loss + depth_loss
+        loss = loss + loss_scale * depth_loss
         stats["depth_loss"] = depth_loss
 
     # Coarse level (mirrors the fine-level terms, run_nerf_view.py:1785-1906).
     if "rgb0" in outputs:
         img_loss0 = _rgb_loss(outputs["rgb0"], target, mask, cfg, temp)
-        loss = loss + img_loss0
+        loss = loss + loss_scale * img_loss0
         stats["img_loss0"] = img_loss0
         stats["psnr0"] = mathx.mse_to_psnr(
             mask_losses.img2mse(outputs["rgb0"], target)
@@ -150,7 +153,7 @@ def vanilla_losses(
             depth_loss0 = _depth_loss(
                 outputs["depth0"], batch["depth"], mask, cfg, far, temp
             )
-            loss = loss + depth_loss0
+            loss = loss + loss_scale * depth_loss0
             stats["depth_loss0"] = depth_loss0
 
     stats["loss"] = loss

@@ -64,15 +64,38 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
     """
 
     if cfg.backbone == "vanilla":
+        if getattr(cfg, "use_fused_render", False):
+            from consistentnerf_tpu.ops import fused_render
 
-        def chunk_fn(chunk_rays):
-            out = model.apply(params, None, chunk_rays)
-            return {
-                "rgb": out["rgb"],
-                "depth": out["depth"][..., None],
-                "disp": out["disp"][..., None],
-                "acc": out["acc"][..., None],
-            }
+            def chunk_fn(chunk_rays):
+                out = fused_render.fused_render_rays(
+                    params,
+                    chunk_rays,
+                    num_samples=cfg.N_samples,
+                    num_importance=cfg.N_importance,
+                    multires=cfg.multires,
+                    multires_views=cfg.multires_views,
+                    net_depth=cfg.netdepth,
+                    white_bkgd=cfg.white_bkgd,
+                    lindisp=cfg.lindisp,
+                )
+                return {
+                    "rgb": out["rgb"],
+                    "depth": out["depth"][..., None],
+                    "disp": out["disp"][..., None],
+                    "acc": out["acc"][..., None],
+                }
+
+        else:
+
+            def chunk_fn(chunk_rays):
+                out = model.apply(params, None, chunk_rays)
+                return {
+                    "rgb": out["rgb"],
+                    "depth": out["depth"][..., None],
+                    "disp": out["disp"][..., None],
+                    "acc": out["acc"][..., None],
+                }
 
     else:
 

@@ -68,6 +68,27 @@ def build_vanilla_train_step(
             outputs = model.apply(
                 params, step_rng if cfg.perturb > 0 else None, rays
             )
+            if cfg.use_noise:
+                # Annealed gaussian noise on predictions before the losses
+                # (run_nerf_view.py:1633-1638; std 0.2 -> 0.05 linearly).
+                std = mask_mod.temp_schedule(
+                    state.step, cfg.total_iters, 0.2, 0.05
+                )
+                nk = jax.random.split(jax.random.fold_in(step_rng, 7), 4)
+                outputs = dict(outputs)
+                outputs["rgb"] = outputs["rgb"] + std * jax.random.normal(
+                    nk[0], outputs["rgb"].shape
+                )
+                outputs["depth"] = outputs["depth"] + cfg.far * std * (
+                    jax.random.normal(nk[1], outputs["depth"].shape)
+                )
+                if "rgb0" in outputs:
+                    outputs["rgb0"] = outputs["rgb0"] + std * (
+                        jax.random.normal(nk[2], outputs["rgb0"].shape)
+                    )
+                    outputs["depth0"] = outputs["depth0"] + cfg.far * std * (
+                        jax.random.normal(nk[3], outputs["depth0"].shape)
+                    )
             loss, stats = losses_lib.vanilla_losses(
                 outputs, batch, cfg, cfg.far, temp, lpips_params
             )

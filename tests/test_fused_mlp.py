@@ -63,3 +63,34 @@ def test_fused_kernel_small_net_interpret():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_render_matches_model_apply():
+    """fused_render_rays (interpret kernel) == VanillaNeRF deterministic."""
+    from consistentnerf_tpu.core.rays import Rays
+    from consistentnerf_tpu.models.nerf import VanillaNeRF
+    from consistentnerf_tpu.ops import fused_render
+
+    model = VanillaNeRF(num_samples=8, num_importance=4, multires=4,
+                        multires_views=2, net_depth=2, net_width=32,
+                        white_bkgd=True)
+    n = 24
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ones = jnp.ones((n, 1))
+    rays = Rays(origins=jnp.zeros((n, 3)), directions=d, viewdirs=d,
+                radii=ones * 1e-3, lossmult=ones, near=ones * 2.0,
+                far=ones * 6.0)
+    params = model.init(jax.random.PRNGKey(0), None, rays)
+    expected = model.apply(params, None, rays)
+    got = fused_render.fused_render_rays(
+        params, rays, num_samples=8, num_importance=4, multires=4,
+        multires_views=2, net_depth=2, white_bkgd=True, tile=32,
+        interpret=True,
+    )
+    for k in ["rgb", "depth", "acc", "rgb0", "depth0"]:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(expected[k]), atol=2e-4,
+            rtol=2e-4, err_msg=k,
+        )

@@ -88,3 +88,19 @@ def test_prefetcher_delivers_and_closes(scene):
     batches = [next(p) for _ in range(5)]
     assert all(b["rgb"].shape[0] == 64 + 32 for b in batches)
     p.close()
+
+
+def test_pseudo_label_branch(scene):
+    from consistentnerf_tpu.configs import Config as _C
+
+    cfg = _C(N_rand=32, n_patches=1, patch_size=8,
+             use_test_pseudo_label=True, seed=3)
+    b = VanillaBatcher(scene, cfg)
+    scales = set()
+    for _ in range(60):
+        batch = b.next_batch()
+        scales.add(float(batch["loss_scale"]))
+    # Both regular (1.0) and pseudo-label (0.1) batches occur.
+    assert len(scales) == 2
+    assert min(scales) == pytest.approx(0.1)
+    assert max(scales) == pytest.approx(1.0)

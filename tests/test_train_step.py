@@ -199,3 +199,14 @@ def test_vanilla_ss_loss_sharded(scene):
     train_step = step_lib.build_train_step(model, cfg, donate=False)
     _, stats = train_step(state, sharded, jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_vanilla_use_noise_step(scene):
+    cfg = tiny_vanilla_cfg(use_noise=True)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    train_step = step_lib.build_train_step(model, cfg, donate=False)
+    _, stats = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["loss"]))
