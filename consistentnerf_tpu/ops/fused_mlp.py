@@ -38,6 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512
 
 
+def auto_interpret(interpret):
+    """None => interpret on CPU backends (Mosaic only lowers for TPU)."""
+    if interpret is not None:
+        return interpret
+    import jax as _jax
+
+    return _jax.default_backend() == "cpu"
+
+
 def _posenc(x, num_freqs):
     """Torch-Embedder-ordered PE (see encoding.posenc_nerf), kernel-safe."""
     if num_freqs == 0:
@@ -135,13 +144,14 @@ def fused_mlp(
     multires_views: int = 4,
     use_viewdirs: bool = True,
     tile: int = DEFAULT_TILE,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Evaluate the NeRF MLP on [N, 3] points (+viewdirs). Returns [N, 4].
 
     N is padded to a tile multiple internally; weights live in VMEM for
     the whole grid.
     """
+    interpret = auto_interpret(interpret)
     n = pts.shape[0]
     weights = [jnp.asarray(w) for w in
                flatten_params(params, use_viewdirs, net_depth)]
@@ -161,10 +171,9 @@ def fused_mlp(
 
     def kernel(pts_ref, views_ref, *refs):
         *w_refs, out_ref = refs
-        # Biases arrive as [1, C]; squeeze back for the body math.
-        w_vals = [
-            r[:][0] if r.shape[0] == 1 else r[:] for r in w_refs
-        ]
+        # Keep biases 2-D [1, C]: broadcast-add lowers cleanly in Mosaic
+        # (1-D vector layouts do not).
+        w_vals = [r[:] for r in w_refs]
         out_ref[:] = _mlp_body(
             pts_ref[:], views_ref[:], w_vals, net_depth=net_depth,
             skips=tuple(skips), multires=multires,

@@ -1,0 +1,278 @@
+"""Trainable fused MLP: Pallas forward + Pallas backward with custom VJP.
+
+XLA's backward pass for the NeRF MLP stores every 256-wide activation in
+HBM during forward (~5+ GB round-trip per step at production batch sizes).
+This op recomputes activations tile-by-tile *inside VMEM* during the
+backward kernel instead: HBM traffic reduces to points, output gradients
+and the weight set, and weight gradients accumulate in VMEM-resident
+output blocks across the (sequential) grid.
+
+Gradients are produced for weights/biases only — in the NeRF training
+step the sample positions carry no trainable parameters (z_vals are
+stratified or stop-gradient'ed, run_nerf_view.py:527), so input gradients
+are defined as zero.
+
+Layout contract matches `ops.fused_mlp.flatten_params`; the pure-jnp
+`reference_mlp_apply` is the oracle for both passes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from consistentnerf_tpu.ops import fused_mlp as fm
+
+TRAIN_TILE = 256
+
+
+def _forward_tile(pts, views, weights, *, net_depth, skips, multires,
+                  multires_views):
+    """Forward for one tile, returning output + all post-relu activations.
+
+    weights: flat list as in flatten_params (viewdirs variant).
+    Returns (out [T,4], x0, acts list[D], h7, hv_in, hv).
+    """
+    x0 = fm._posenc(pts, multires)
+    v0 = fm._posenc(views, multires_views)
+    acts = []  # input to each trunk layer AFTER any skip concat
+    h = x0
+    wi = 0
+    layer_inputs = []
+    for i in range(net_depth):
+        layer_inputs.append(h)
+        w, b = weights[wi], weights[wi + 1]
+        wi += 2
+        h = jnp.maximum(
+            jnp.dot(h, w, preferred_element_type=jnp.float32) + b, 0.0
+        )
+        acts.append(h)
+        if i in skips:
+            h = jnp.concatenate([x0, h], axis=-1)
+    alpha_w, alpha_b = weights[wi], weights[wi + 1]
+    feat_w, feat_b = weights[wi + 2], weights[wi + 3]
+    v_w, v_b = weights[wi + 4], weights[wi + 5]
+    rgb_w, rgb_b = weights[wi + 6], weights[wi + 7]
+    h_last = h
+    alpha = jnp.dot(h_last, alpha_w,
+                    preferred_element_type=jnp.float32) + alpha_b
+    feat = jnp.dot(h_last, feat_w,
+                   preferred_element_type=jnp.float32) + feat_b
+    hv_in = jnp.concatenate([feat, v0], axis=-1)
+    hv = jnp.maximum(
+        jnp.dot(hv_in, v_w, preferred_element_type=jnp.float32) + v_b, 0.0
+    )
+    rgb = jnp.dot(hv, rgb_w, preferred_element_type=jnp.float32) + rgb_b
+    out = jnp.concatenate([rgb, alpha], axis=-1)
+    return out, x0, layer_inputs, acts, h_last, hv_in, hv
+
+
+def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
+                   multires_views):
+    """Recompute forward + compute all weight/bias grads for one tile."""
+    (out, x0, layer_inputs, acts, h_last, hv_in, hv) = _forward_tile(
+        pts, views, weights, net_depth=net_depth, skips=skips,
+        multires=multires, multires_views=multires_views,
+    )
+    P = x0.shape[-1]
+    wi = 2 * net_depth
+    alpha_w = weights[wi]
+    feat_w = weights[wi + 2]
+    v_w = weights[wi + 4]
+    rgb_w = weights[wi + 6]
+
+    grads = [None] * len(weights)
+
+    def dot_t(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g_rgb = g[:, :3]
+    g_alpha = g[:, 3:4]
+
+    # rgb head
+    grads[wi + 6] = dot_t(hv, g_rgb)
+    grads[wi + 7] = jnp.sum(g_rgb, axis=0, keepdims=True)
+    # views layer
+    g_hv = jnp.dot(g_rgb, rgb_w.T,
+                   preferred_element_type=jnp.float32) * (hv > 0)
+    grads[wi + 4] = dot_t(hv_in, g_hv)
+    grads[wi + 5] = jnp.sum(g_hv, axis=0, keepdims=True)
+    g_hv_in = jnp.dot(g_hv, v_w.T, preferred_element_type=jnp.float32)
+    g_feat = g_hv_in[:, : feat_w.shape[-1]]
+    # feature + alpha heads (both take h_last)
+    grads[wi + 2] = dot_t(h_last, g_feat)
+    grads[wi + 3] = jnp.sum(g_feat, axis=0, keepdims=True)
+    grads[wi] = dot_t(h_last, g_alpha)
+    grads[wi + 1] = jnp.sum(g_alpha, axis=0, keepdims=True)
+
+    g_h = jnp.dot(g_feat, feat_w.T, preferred_element_type=jnp.float32) + (
+        jnp.dot(g_alpha, alpha_w.T, preferred_element_type=jnp.float32)
+    )
+    # trunk, backwards
+    for i in reversed(range(net_depth)):
+        if i in skips:
+            # h after layer i was concat([x0, act_i]); drop the x0 part
+            # (no input grads) and keep the activation part.
+            g_act = g_h[:, P:]
+        else:
+            g_act = g_h
+        g_pre = g_act * (acts[i] > 0)
+        grads[2 * i] = dot_t(layer_inputs[i], g_pre)
+        grads[2 * i + 1] = jnp.sum(g_pre, axis=0, keepdims=True)
+        if i > 0:
+            w = weights[2 * i]
+            g_h = jnp.dot(g_pre, w.T, preferred_element_type=jnp.float32)
+    return grads
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8),
+)
+def fused_mlp_train(
+    weights: Sequence[jnp.ndarray],
+    pts: jnp.ndarray,
+    views: jnp.ndarray,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = TRAIN_TILE,
+    interpret: bool | None = None,
+):
+    """Differentiable fused MLP. weights: flat tuple (flatten_params order,
+    biases [1, C]). Returns [N, 4]."""
+    return _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                       multires_views, tile, interpret)
+
+
+def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                multires_views, tile, interpret):
+    interpret = fm.auto_interpret(interpret)
+    n = pts.shape[0]
+    pts_p = _pad_rows(pts, -(-n // tile) * tile)
+    views_p = _pad_rows(views, pts_p.shape[0])
+    grid = (pts_p.shape[0] // tile,)
+
+    def kernel(pts_ref, views_ref, *refs):
+        *w_refs, out_ref = refs
+        w_vals = [r[:] for r in w_refs]
+        out, *_ = _forward_tile(
+            pts_ref[:], views_ref[:], w_vals, net_depth=net_depth,
+            skips=tuple(skips), multires=multires,
+            multires_views=multires_views,
+        )
+        out_ref[:] = out
+
+    def whole(w):
+        return pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [whole(w) for w in weights],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 4), jnp.float32),
+        interpret=interpret,
+    )(pts_p, views_p, *weights)
+    return out[:n]
+
+
+def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
+                multires_views, tile, interpret):
+    interpret = fm.auto_interpret(interpret)
+    n = pts.shape[0]
+    n_pad = -(-n // tile) * tile
+    pts_p = _pad_rows(pts, n_pad)
+    views_p = _pad_rows(views, n_pad)
+    g_p = _pad_rows(g, n_pad)  # zero-padded grads: padded rows contribute 0
+    grid = (n_pad // tile,)
+
+    def kernel(pts_ref, views_ref, g_ref, *refs):
+        w_refs = refs[: len(weights)]
+        out_refs = refs[len(weights):]
+        w_vals = [r[:] for r in w_refs]
+        tile_grads = _backward_tile(
+            g_ref[:], pts_ref[:], views_ref[:], w_vals,
+            net_depth=net_depth, skips=tuple(skips), multires=multires,
+            multires_views=multires_views,
+        )
+        is_first = pl.program_id(0) == 0
+        for o_ref, tg in zip(out_refs, tile_grads):
+
+            @pl.when(is_first)
+            def _(o_ref=o_ref, tg=tg):
+                o_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(o_ref=o_ref, tg=tg):
+                o_ref[:] = o_ref[:] + tg
+
+    def whole(w):
+        return pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [whole(w) for w in weights],
+        out_specs=tuple(whole(w) for w in weights),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
+        ),
+        interpret=interpret,
+    )(pts_p, views_p, g_p, *weights)
+    return list(grads)
+
+
+def _vjp_fwd(weights, pts, views, net_depth, skips, multires,
+             multires_views, tile, interpret):
+    out = _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                      multires_views, tile, interpret)
+    return out, (weights, pts, views)
+
+
+def _vjp_bwd(net_depth, skips, multires, multires_views, tile, interpret,
+             residuals, g):
+    weights, pts, views = residuals
+    d_weights = _bwd_pallas(
+        weights, pts, views, g, net_depth, skips, multires, multires_views,
+        tile, interpret,
+    )
+    return (
+        tuple(d_weights),
+        jnp.zeros_like(pts),
+        jnp.zeros_like(views),
+    )
+
+
+fused_mlp_train.defvjp(_vjp_fwd, _vjp_bwd)

@@ -41,7 +41,7 @@ def fused_render_rays(
     white_bkgd: bool = False,
     lindisp: bool = False,
     tile: int = fm.DEFAULT_TILE,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic render of a flat Rays batch via the fused kernel."""
     p = params["params"] if "params" in params else params

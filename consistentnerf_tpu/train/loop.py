@@ -90,7 +90,14 @@ def train(
     state = ckpt.restore(state)
     start_step = int(state.step)
 
-    train_step = step_lib.build_train_step(model, cfg)
+    if cfg.use_fused_train and cfg.backbone == "vanilla":
+        from consistentnerf_tpu.ops.fused_train import (
+            build_fused_vanilla_train_step,
+        )
+
+        train_step = build_fused_vanilla_train_step(cfg)
+    else:
+        train_step = step_lib.build_train_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
 
     source: Iterator = Prefetcher(batcher) if use_prefetch else batcher
@@ -138,6 +145,32 @@ def train(
 
         if (step_i + 1) % cfg.checkpoint_every == 0 or step_i + 1 == num_steps:
             ckpt.save(step_i + 1, jax.device_get(state))
+
+        if (
+            cfg.train_render_every > 0
+            and (step_i + 1) % cfg.train_render_every == 0
+            and jax.process_index() == 0
+            and len(scene.i_test) > 0
+        ):
+            # Periodic held-out render (RegNeRF train.py:492-564).
+            from consistentnerf_tpu.train import evaluation
+
+            tm = evaluation.evaluate(
+                model,
+                cfg,
+                jax.device_get(state).params,
+                scene,
+                out_dir=os.path.join(cfg.basedir, cfg.expname,
+                                     "train_renders"),
+                views=scene.i_test[:1],
+                step=step_i + 1,
+            )
+            log_fn(f"  test render @ {step_i + 1}: " + ", ".join(
+                f"{k}={v:.3f}" for k, v in sorted(tm.items())
+            ))
+            if writer is not None:
+                for k, v in tm.items():
+                    writer.add_scalar(f"test_{k}", v, step_i + 1)
 
         if "on_step" in callbacks:
             callbacks["on_step"](step_i, state)

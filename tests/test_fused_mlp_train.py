@@ -1,0 +1,176 @@
+"""Custom-VJP fused training kernel vs jax.grad of the XLA oracle."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.models.mlp import NeRFMLP
+from consistentnerf_tpu.ops import fused_mlp as fm
+from consistentnerf_tpu.ops import fused_mlp_train as fmt
+
+
+def _setup(net_depth=2, width=32, skips=(1,), multires=4, mv=2, n=96):
+    mlp = NeRFMLP(net_depth=net_depth, net_width=width, skips=skips)
+    pe_dim = 3 * (1 + 2 * multires)
+    ve_dim = 3 * (1 + 2 * mv)
+    params = mlp.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, pe_dim)), jnp.zeros((2, ve_dim))
+    )
+    weights = [jnp.asarray(w) for w in
+               fm.flatten_params(params, True, net_depth)]
+    weights = tuple(w[None, :] if w.ndim == 1 else w for w in weights)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    views = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    return params, weights, pts, views, dict(
+        net_depth=net_depth, skips=skips, multires=multires,
+        multires_views=mv,
+    )
+
+
+def _oracle_fn(weights, pts, views, cfg):
+    flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
+            for w in weights]
+    return fm._mlp_body(
+        pts, views, flat, net_depth=cfg["net_depth"],
+        skips=tuple(cfg["skips"]), multires=cfg["multires"],
+        multires_views=cfg["multires_views"], use_viewdirs=True,
+    )
+
+
+def test_forward_matches_oracle():
+    params, weights, pts, views, cfg = _setup()
+    expected = _oracle_fn(weights, pts, views, cfg)
+    got = fmt.fused_mlp_train(
+        weights, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+        cfg["multires"], cfg["multires_views"], 32, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_jax_grad():
+    params, weights, pts, views, cfg = _setup()
+
+    def loss_fused(ws):
+        out = fmt.fused_mlp_train(
+            ws, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True,
+        )
+        return jnp.sum(jnp.sin(out))  # nontrivial output grads
+
+    def loss_oracle(ws):
+        return jnp.sum(jnp.sin(_oracle_fn(ws, pts, views, cfg)))
+
+    g_fused = jax.grad(loss_fused)(weights)
+    g_oracle = jax.grad(loss_oracle)(weights)
+    assert len(g_fused) == len(g_oracle)
+    for i, (gf, go) in enumerate(zip(g_fused, g_oracle)):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), atol=5e-4, rtol=5e-4,
+            err_msg=f"weight {i}",
+        )
+
+
+def test_gradients_default_depth8():
+    """Production arch: depth 8, skip at 4."""
+    params, weights, pts, views, cfg = _setup(
+        net_depth=8, width=32, skips=(4,), multires=4, mv=2, n=64
+    )
+
+    def loss_fused(ws):
+        out = fmt.fused_mlp_train(ws, pts, views, 8, (4,), 4, 2, 64, True)
+        return jnp.mean(out**2)
+
+    def loss_oracle(ws):
+        return jnp.mean(_oracle_fn(ws, pts, views, cfg) ** 2)
+
+    g_fused = jax.grad(loss_fused)(weights)
+    g_oracle = jax.grad(loss_oracle)(weights)
+    for i, (gf, go) in enumerate(zip(g_fused, g_oracle)):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), atol=5e-5, rtol=5e-4,
+            err_msg=f"weight {i}",
+        )
+
+
+def test_padding_rows_do_not_leak_grads():
+    """n not a tile multiple: padded rows must contribute zero grads."""
+    params, weights, pts, views, cfg = _setup(n=40)  # tile 32 -> pad 24
+
+    def loss_fused(ws):
+        out = fmt.fused_mlp_train(
+            ws, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True,
+        )
+        return jnp.sum(out)
+
+    def loss_oracle(ws):
+        return jnp.sum(_oracle_fn(ws, pts, views, cfg))
+
+    g_fused = jax.grad(loss_fused)(weights)
+    g_oracle = jax.grad(loss_oracle)(weights)
+    for i, (gf, go) in enumerate(zip(g_fused, g_oracle)):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), atol=5e-4, rtol=5e-4,
+            err_msg=f"weight {i}",
+        )
+
+
+def test_fused_train_step_matches_xla_step():
+    """One fused train step == one XLA train step (same rng, params)."""
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.ops.fused_train import (
+        build_fused_vanilla_train_step,
+        fused_vanilla_forward,
+    )
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    scene = synthetic.make_scene(n_views=4, H=32, W=32).to_scene_data()
+    cfg = Config(
+        backbone="vanilla", netdepth=2, netwidth=32, N_samples=8,
+        N_importance=4, multires=4, multires_views=2, N_rand=64,
+        n_patches=1, patch_size=8, white_bkgd=True, hardmask=True,
+        with_depth_loss=True, use_tensorboard=False, perturb=0.0,
+    )
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+
+    # Forward equality (deterministic).
+    rays = step_lib.rays_from_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, cfg.near, cfg.far
+    )
+    # interpret mode: patch the fused forward's kernel path via tile/interp
+    out_fused = fused_vanilla_forward(state.params, None, rays, cfg,
+                                      tile=64, interpret=True)
+    out_xla = model.apply(state.params, None, rays)
+    np.testing.assert_allclose(
+        np.asarray(out_fused["rgb"]), np.asarray(out_xla["rgb"]),
+        atol=2e-4, rtol=2e-4,
+    )
+
+    # Full-step equality: loss and updated params.
+    # (interpret=True via a partial-configured builder)
+    import functools as _ft
+
+    from consistentnerf_tpu.ops import fused_train as ftr
+
+    orig = ftr.fused_mlp_train
+    ftr_step = build_fused_vanilla_train_step(cfg, donate=False, tile=64)
+    xla_step = step_lib.build_vanilla_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(0)
+    s_f, st_f = ftr_step(state, batch, key)
+    s_x, st_x = xla_step(state, batch, key)
+    assert float(st_f["loss"]) == pytest.approx(float(st_x["loss"]),
+                                                rel=1e-3)
+    kf = np.asarray(s_f.params["params"]["fine"]["pts_0"]["kernel"])
+    kx = np.asarray(s_x.params["params"]["fine"]["pts_0"]["kernel"])
+    np.testing.assert_allclose(kf, kx, atol=1e-4)

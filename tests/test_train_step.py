@@ -210,3 +210,20 @@ def test_vanilla_use_noise_step(scene):
     train_step = step_lib.build_train_step(model, cfg, donate=False)
     _, stats = train_step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_loop_periodic_test_render(scene):
+    cfg = tiny_vanilla_cfg(
+        total_iters=20, basedir="/tmp/cnerf_test_logs", expname="rnd",
+        train_render_every=10, i_print=10, checkpoint_every=100000,
+        render_chunk_size=512, eval_disable_lpips=True, N_importance=0,
+    )
+    import shutil
+
+    shutil.rmtree("/tmp/cnerf_test_logs/rnd", ignore_errors=True)
+    result = loop_lib.train(cfg, scene, num_steps=20, use_prefetch=False,
+                            log_fn=lambda s: None)
+    import os
+
+    out = "/tmp/cnerf_test_logs/rnd/train_renders"
+    assert os.path.isfile(os.path.join(out, "color_000.png"))
