@@ -79,7 +79,9 @@ def main():
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, stats = train_step(state, batches[i % 4], key)
-        jax.block_until_ready(stats["loss"])
+        # Materialize the value: a hard host sync (block_until_ready has
+        # been observed returning early through the remote TPU relay).
+        float(stats["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     rays_per_sec = n_steps * n_rays / best_dt

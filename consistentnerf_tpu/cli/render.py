@@ -103,7 +103,8 @@ def main(argv=None):
         # takes lo/hi in disparity space too.
         lo, hi = depth_range
     for i, pose in enumerate(poses):
-        rays = camera_rays_for_view(scene, np.asarray(pose))
+        rays = camera_rays_for_view(scene, np.asarray(pose),
+                                    render_factor=cfg.render_factor)
         out = {k: np.asarray(v) for k, v in render(rays).items()}
         vis.save_img_u8(out["rgb"],
                         os.path.join(out_dir, f"color_{i:03d}.png"))

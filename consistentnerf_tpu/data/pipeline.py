@@ -293,34 +293,66 @@ class MipBatcher:
     def next_batch(self) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         s = self.scene
-        img_i = int(self.rng.choice(s.i_train))
-        ps = 16
-        n_patch_rays = 4 * ps * ps
-        n_random = max(0, cfg.N_rand)
+        mode = getattr(cfg, "batching", "single_image_patch")
 
-        coords = []
-        for _ in range(4):
-            r0 = self.rng.randint(0, s.H - ps + 1)
-            c0 = self.rng.randint(0, s.W - ps + 1)
-            rr, cc = np.meshgrid(
-                np.arange(r0, r0 + ps), np.arange(c0, c0 + ps), indexing="ij"
+        if mode == "all_images":
+            # Every ray independently from a random (view, pixel)
+            # (datasets.py 'all_images' batching).
+            n = 4 * 256 + max(0, cfg.N_rand)
+            img_idx = self.rng.choice(s.i_train, size=n)
+            sel = self.rng.randint(0, s.H * s.W, size=n)
+            r, c = sel // s.W, sel % s.W
+            rays = Rays(
+                origins=self.origins[img_idx, r, c].astype(np.float32),
+                directions=self.dirs[img_idx, r, c].astype(np.float32),
+                viewdirs=self.viewdirs[img_idx, r, c].astype(np.float32),
+                radii=self.radii[img_idx, r, c],
+                lossmult=np.ones((n, 1), np.float32),
+                near=np.full((n, 1), s.near, np.float32),
+                far=np.full((n, 1), s.far, np.float32),
             )
-            coords.append(np.stack([rr, cc], -1).reshape(-1, 2))
-        coords = np.concatenate(coords, 0)
-        if n_random:
-            sel = self.rng.randint(0, s.H * s.W, size=n_random)
-            rand_coords = np.stack([sel // s.W, sel % s.W], -1)
-            coords = np.concatenate([coords, rand_coords], 0)
+            batch = {
+                "rays": rays,
+                "rgb": s.images[img_idx, r, c].astype(np.float32),
+                "dpts": s.depths[img_idx, r, c].astype(np.float32),
+                "masks": s.masks[img_idx, r, c].astype(np.float32),
+                "mono_dpts": s.mono_disp[img_idx, r, c].astype(np.float32),
+                "bounds": np.array([s.near, s.far], np.float32),
+            }
+        else:
+            img_i = int(self.rng.choice(s.i_train))
+            ps = 16
+            n_random = max(0, cfg.N_rand)
 
-        r, c = coords[:, 0], coords[:, 1]
-        batch = {
-            "rays": self._rays_at(img_i, r, c),
-            "rgb": s.images[img_i][r, c].astype(np.float32),
-            "dpts": s.depths[img_i][r, c].astype(np.float32),
-            "masks": s.masks[img_i][r, c].astype(np.float32),
-            "mono_dpts": s.mono_disp[img_i][r, c].astype(np.float32),
-            "bounds": np.array([s.near, s.far], np.float32),
-        }
+            coords = []
+            if mode == "single_image_patch":
+                for _ in range(4):
+                    r0 = self.rng.randint(0, s.H - ps + 1)
+                    c0 = self.rng.randint(0, s.W - ps + 1)
+                    rr, cc = np.meshgrid(
+                        np.arange(r0, r0 + ps), np.arange(c0, c0 + ps),
+                        indexing="ij",
+                    )
+                    coords.append(np.stack([rr, cc], -1).reshape(-1, 2))
+            elif mode == "single_image":
+                # no patch structure: all rays random from one image
+                n_random += 4 * ps * ps
+            else:
+                raise ValueError(f"Unknown batching mode {mode!r}")
+            if n_random:
+                sel = self.rng.randint(0, s.H * s.W, size=n_random)
+                coords.append(np.stack([sel // s.W, sel % s.W], -1))
+            coords = np.concatenate(coords, 0)
+
+            r, c = coords[:, 0], coords[:, 1]
+            batch = {
+                "rays": self._rays_at(img_i, r, c),
+                "rgb": s.images[img_i][r, c].astype(np.float32),
+                "dpts": s.depths[img_i][r, c].astype(np.float32),
+                "masks": s.masks[img_i][r, c].astype(np.float32),
+                "mono_dpts": s.mono_disp[img_i][r, c].astype(np.float32),
+                "bounds": np.array([s.near, s.far], np.float32),
+            }
         if self.random_poses is not None and cfg.load_random_rays:
             batch["rays_random"] = self._random_pose_patch_rays()
 

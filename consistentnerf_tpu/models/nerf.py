@@ -79,12 +79,17 @@ class VanillaNeRF(nn.Module):
                 viewdirs[:, None, :], (n, s, 3)
             ).reshape(n * s, 3)
 
-        pts_embed = encoding.posenc_nerf(pts_flat, self.multires)
+        # PE is computed in fp32 (phase accuracy at 2^9 scales needs the
+        # mantissa) but stored/consumed at the compute dtype: the encoded
+        # buffer is the largest activation and bf16 halves its HBM traffic.
+        pts_embed = encoding.posenc_nerf(pts_flat, self.multires).astype(
+            self.dtype
+        )
         views_embed = None
         if views_flat is not None:
             views_embed = encoding.posenc_nerf(
                 views_flat, self.multires_views
-            )
+            ).astype(self.dtype)
         raw = mlp(pts_embed, views_embed)
         return raw.reshape(n, s, raw.shape[-1])
 

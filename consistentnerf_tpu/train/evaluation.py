@@ -23,16 +23,25 @@ from consistentnerf_tpu.train import render as render_lib
 from consistentnerf_tpu.train.lpips import LPIPS
 
 
-def camera_rays_for_view(scene: SceneData, pose) -> Rays:
+def camera_rays_for_view(scene: SceneData, pose,
+                         render_factor: int = 0) -> Rays:
+    """Rays for one camera; render_factor > 0 renders downsampled
+    (run_nerf_view.py:256-260 semantics)."""
+    h, w, k, focal = scene.H, scene.W, scene.K, scene.focal
+    if render_factor and render_factor > 1:
+        h, w = h // render_factor, w // render_factor
+        k = np.asarray(k).copy()
+        k[:2] = k[:2] / render_factor
+        focal = focal / render_factor
     return rays_core.camera_rays(
-        scene.H,
-        scene.W,
-        scene.K,
+        h,
+        w,
+        k,
         np.asarray(pose)[:3, :4],
         scene.near,
         scene.far,
         use_ndc=scene.use_ndc,
-        ndc_focal=scene.focal,
+        ndc_focal=focal,
     )
 
 
@@ -91,6 +100,27 @@ def evaluate(
     if not cfg.eval_disable_lpips:
         lpips_fn = LPIPS(cfg.lpips_weights_path)
 
+    # DTU: prefer the IDR evaluation masks when provided
+    # (RegNeRF eval.py:190-225 via datasets._load_masks).
+    idr_masks = None
+    if (
+        cfg.dataset_type == "dtu"
+        and not cfg.dtu_no_mask_eval
+        and cfg.dtu_mask_path
+        and os.path.isdir(cfg.dtu_mask_path)
+    ):
+        from consistentnerf_tpu.data.dtu import load_idr_masks
+
+        scan = os.path.basename(os.path.normpath(cfg.datadir))
+        try:
+            idr = load_idr_masks(cfg.dtu_mask_path, scan, cfg.factor)
+            idr_masks = {
+                int(v): idr[i][..., 0]
+                for i, v in enumerate(scene.i_test[: idr.shape[0]])
+            }
+        except FileNotFoundError:
+            idr_masks = None
+
     render = render_lib.build_render_fn(model, cfg, params)
 
     per_view: List[Dict[str, float]] = []
@@ -102,11 +132,10 @@ def evaluate(
         gt = scene.images[vi]
         mask = None
         if cfg.dataset_type == "dtu" and not cfg.dtu_no_mask_eval:
-            mask = (
-                scene.masks[vi]
-                if scene.masks is not None
-                else None
-            )
+            if idr_masks is not None and int(vi) in idr_masks:
+                mask = idr_masks[int(vi)]
+            elif scene.masks is not None:
+                mask = scene.masks[vi]
         m = compute_image_metrics(
             np.clip(outs["rgb"], 0, 1), gt, lpips_fn, mask
         )
@@ -121,6 +150,15 @@ def evaluate(
                 vis.visualize_depth(outs["depth"], outs["acc"]),
                 os.path.join(out_dir, f"depth_{n:03d}.png"),
             )
+            vis.save_img_u8(
+                np.repeat(np.clip(outs["acc"], 0, 1)[..., None], 3, -1),
+                os.path.join(out_dir, f"acc_{n:03d}.png"),
+            )
+            if "normals" in outs:
+                vis.save_img_u8(
+                    vis.visualize_normals(outs["normals"], outs["acc"]),
+                    os.path.join(out_dir, f"normals_{n:03d}.png"),
+                )
 
     agg = {}
     if per_view:

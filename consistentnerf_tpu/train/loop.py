@@ -118,7 +118,19 @@ def train(
     rays_per_sec = 0.0
     batch_rays = example["rgb"].shape[0]
 
+    profiling = False
     for step_i in range(start_step, num_steps):
+        # Profiler hook: capture a trace of the first cfg.profile_steps
+        # steps (the reference only had wall-clock counters; SURVEY §5).
+        if cfg.profile_steps > 0 and step_i == start_step + 1:
+            jax.profiler.start_trace(
+                cfg.profile_dir
+                or os.path.join(cfg.basedir, cfg.expname, "profile")
+            )
+            profiling = True
+        if profiling and step_i == start_step + 1 + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
         batch = next(source)
         batch = shard_batch(batch, mesh)
         state, stats = train_step(state, batch, rng)
@@ -175,6 +187,8 @@ def train(
         if "on_step" in callbacks:
             callbacks["on_step"](step_i, state)
 
+    if profiling:
+        jax.profiler.stop_trace()
     if isinstance(source, Prefetcher):
         source.close()
     ckpt.wait()

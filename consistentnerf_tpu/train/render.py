@@ -103,17 +103,22 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
             levels = model.apply(
                 params, None, chunk_rays,
                 resample_padding=cfg.resample_padding_final,
-                compute_extras=False,
+                compute_extras=True,
             )
             fine = levels[-1]
-            return {
+            out = {
                 "rgb": fine["rgb"],
                 "depth": fine["distance_mean"][..., None],
                 "disp": (1.0 / jnp.maximum(fine["distance_mean"], 1e-6))[
                     ..., None
                 ],
-                "acc": jnp.ones_like(fine["distance_mean"])[..., None],
+                "acc": fine["acc"][..., None],
             }
+            if "normals" in fine and not cfg.disable_normals:
+                out["normals"] = fine["normals"]
+            if "distance_median" in fine:
+                out["distance_median"] = fine["distance_median"][..., None]
+            return out
 
     @jax.jit
     def render(rays: Rays):

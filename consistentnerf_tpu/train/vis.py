@@ -111,6 +111,46 @@ def visualize_normals(normals: np.ndarray, acc: Optional[np.ndarray] = None):
     return vis
 
 
+def visualize_rays(
+    t_vals: np.ndarray,
+    weights: np.ndarray,
+    rgbs: Optional[np.ndarray] = None,
+    width: int = 640,
+    height: int = 320,
+) -> np.ndarray:
+    """Ray-bundle visualization: per-ray weight curves over distance.
+
+    The analog of RegNeRF's vis.py:185-251 matplotlib ray plots, consuming
+    the `ray_t_vals`/`ray_weights`/`ray_rgbs` bundles emitted by
+    `volumetric_rendering(compute_extras=True)`. Returns an RGB image in
+    [0, 1].
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t_vals = np.asarray(t_vals)
+    weights = np.asarray(weights)
+    fig, ax = plt.subplots(
+        figsize=(width / 100, height / 100), dpi=100
+    )
+    t_mids = 0.5 * (t_vals[:, :-1] + t_vals[:, 1:])
+    for i in range(min(t_mids.shape[0], 64)):
+        color = None
+        if rgbs is not None:
+            color = np.clip(np.asarray(rgbs)[i].mean(0), 0, 1)
+        ax.plot(t_mids[i], weights[i][: t_mids.shape[1]], lw=0.7,
+                alpha=0.6, color=color)
+    ax.set_xlabel("distance")
+    ax.set_ylabel("weight")
+    fig.tight_layout()
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+    plt.close(fig)
+    return buf.astype(np.float32) / 255.0
+
+
 def visualize_suite(rendering: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """The standard visualization bundle (RegNeRF vis.py:254-299)."""
     out = {"color": np.clip(rendering["rgb"], 0, 1)}

@@ -100,3 +100,49 @@ def test_save_img_u8(tmp_path):
 
     back = imageio.imread(path)
     assert back.shape == (8, 8, 3)
+
+
+def test_mip_render_image_extras():
+    scene = synthetic.make_scene(n_views=3, H=24, W=24).to_scene_data()
+    cfg = Config(
+        backbone="mipnerf", netdepth=2, netwidth=16, mip_num_samples=4,
+        max_deg_point=4, disable_normals=True, N_rand=32,
+        white_bkgd=True, render_chunk_size=192, use_tensorboard=False,
+    )
+    from consistentnerf_tpu.models.factory import make_model as mk
+
+    model = mk(cfg)
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+
+    batcher = MipBatcher(scene, cfg)
+    state = loop_lib.init_state(cfg, model, batcher.next_batch())
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out = render_lib.render_image(model, cfg, state.params, rays)
+    assert out["rgb"].shape == (24, 24, 3)
+    assert out["acc"].shape == (24, 24)
+    assert out["distance_median"].shape == (24, 24)
+    assert np.all(np.isfinite(out["rgb"]))
+
+
+def test_mip_batching_modes():
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+
+    scene = synthetic.make_scene(n_views=4, H=24, W=24).to_scene_data()
+    for mode, expect in [("single_image_patch", 4 * 256 + 32),
+                         ("single_image", 4 * 256 + 32),
+                         ("all_images", 4 * 256 + 32)]:
+        cfg = Config(backbone="mipnerf", N_rand=32, batching=mode)
+        b = MipBatcher(scene, cfg)
+        batch = b.next_batch()
+        assert batch["rgb"].shape == (expect, 3), mode
+        assert batch["rays"].origins.shape == (expect, 3), mode
+
+
+def test_visualize_rays():
+    rng = np.random.RandomState(0)
+    t_vals = np.sort(rng.rand(8, 17) * 4 + 2, -1)
+    weights = rng.rand(8, 16)
+    rgbs = rng.rand(8, 16, 3)
+    img = vis.visualize_rays(t_vals, weights, rgbs)
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert img.min() >= 0 and img.max() <= 1
