@@ -35,10 +35,18 @@ class SyntheticScene:
     mono_disp: np.ndarray  # [N, H, W] synthetic monocular disparity prior
     masks: np.ndarray  # [N, H, W] bool foreground (hit) mask
 
-    def to_scene_data(self, n_test: int = 2) -> SceneData:
+    def to_scene_data(self, n_test: int = 2,
+                      interleave_test: bool = False) -> SceneData:
         n = self.images.shape[0]
-        i_test = np.arange(max(0, n - n_test), n)
-        i_train = np.arange(0, max(1, n - n_test))
+        if interleave_test and n_test > 0:
+            # Spread test views between train views (fairer novel-view
+            # evaluation than holding out one side of the orbit).
+            step = max(1, n // n_test)
+            i_test = np.arange(step - 1, n, step)[:n_test]
+            i_train = np.array([i for i in range(n) if i not in set(i_test)])
+        else:
+            i_test = np.arange(max(0, n - n_test), n)
+            i_train = np.arange(0, max(1, n - n_test))
         return SceneData(
             images=self.images,
             poses=self.poses,
