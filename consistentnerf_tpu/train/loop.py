@@ -118,8 +118,16 @@ def train(
     rays_per_sec = 0.0
     batch_rays = example["rgb"].shape[0]
 
+    # Loop-efficiency GC pinning (RegNeRF train.py:366,407-408).
+    import gc
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+
     profiling = False
     for step_i in range(start_step, num_steps):
+        if cfg.gc_every > 0 and (step_i + 1) % cfg.gc_every == 0:
+            gc.collect()
         # Profiler hook: capture a trace of the first cfg.profile_steps
         # steps (the reference only had wall-clock counters; SURVEY §5).
         if cfg.profile_steps > 0 and step_i == start_step + 1:
@@ -189,6 +197,8 @@ def train(
 
     if profiling:
         jax.profiler.stop_trace()
+    if gc_was_enabled:
+        gc.enable()
     if isinstance(source, Prefetcher):
         source.close()
     ckpt.wait()
