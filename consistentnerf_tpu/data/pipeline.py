@@ -27,8 +27,6 @@ from consistentnerf_tpu.core import rays as rays_core
 from consistentnerf_tpu.core.rays import Rays
 from consistentnerf_tpu.data.scene import SceneData
 
-import jax.numpy as jnp
-
 
 def _np_rays(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
     """Precompute per-view (origins, dirs) stacks [N, H, W, 3] on host."""

@@ -109,10 +109,11 @@ def build_vanilla_train_step(
                     outputs["rgb"], batch["rgb"], aux["consistency_weight"]
                 )
                 use_gated = jax.random.bernoulli(gate_rng)
+                scale = batch.get("loss_scale", jnp.array(1.0))
                 loss = (
                     loss
-                    - stats["img_loss"]
-                    + jnp.where(use_gated, gated, stats["img_loss"])
+                    - scale * stats["img_loss"]
+                    + scale * jnp.where(use_gated, gated, stats["img_loss"])
                     + cfg.ss_loss_mult * ss
                 )
                 stats["ss_loss"] = ss
