@@ -212,23 +212,32 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
 
     def kernel(pts_ref, views_ref, g_ref, *refs):
         w_refs = refs[: len(weights)]
-        out_refs = refs[len(weights):]
+        out_refs = refs[len(weights): 2 * len(weights)]
+        acc_refs = refs[2 * len(weights):]
         w_vals = [r[:] for r in w_refs]
         tile_grads = _backward_tile(
             g_ref[:], pts_ref[:], views_ref[:], w_vals,
             net_depth=net_depth, skips=tuple(skips), multires=multires,
             multires_views=multires_views,
         )
+        # Accumulate into VMEM scratch (persists across the sequential
+        # grid); outputs are written once on the last step, so Mosaic
+        # doesn't have to keep the output blocks coherent per step.
         is_first = pl.program_id(0) == 0
-        for o_ref, tg in zip(out_refs, tile_grads):
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for a_ref, o_ref, tg in zip(acc_refs, out_refs, tile_grads):
 
             @pl.when(is_first)
-            def _(o_ref=o_ref, tg=tg):
-                o_ref[:] = tg
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
 
             @pl.when(jnp.logical_not(is_first))
-            def _(o_ref=o_ref, tg=tg):
-                o_ref[:] = o_ref[:] + tg
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, o_ref=o_ref):
+                o_ref[:] = a_ref[:]
 
     def whole(w):
         return pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
@@ -249,6 +258,9 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
         out_shape=tuple(
             jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
         ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.float32) for w in weights
+        ],
         interpret=interpret,
     )(pts_p, views_p, g_p, *weights)
     return list(grads)
