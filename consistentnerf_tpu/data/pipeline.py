@@ -28,14 +28,27 @@ from consistentnerf_tpu.core.rays import Rays
 from consistentnerf_tpu.data.scene import SceneData
 
 
-def _np_rays(scene: SceneData) -> tuple[np.ndarray, np.ndarray]:
-    """Precompute per-view (origins, dirs) stacks [N, H, W, 3] on host."""
-    os_, ds_ = [], []
+def _np_rays(scene: SceneData):
+    """Precompute per-view (origins, dirs, viewdirs) stacks [N, H, W, 3].
+
+    Viewdirs always come from the raw camera-space directions; for NDC
+    (forward-facing LLFF) scenes origins/directions are then warped into
+    NDC — the reference does this inside render()
+    (run_nerf_view.py:216-228), so training rays must be NDC too.
+    """
+    os_, ds_, vs_ = [], [], []
     for p in scene.poses:
         o, d = rays_core.get_rays(scene.H, scene.W, scene.K, p[:3, :4])
+        v = np.asarray(d)
+        v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        if scene.use_ndc:
+            o, d = rays_core.ndc_rays(
+                scene.H, scene.W, scene.focal, 1.0, o, d
+            )
         os_.append(np.asarray(o))
         ds_.append(np.asarray(d))
-    return np.stack(os_, 0), np.stack(ds_, 0)
+        vs_.append(v)
+    return np.stack(os_, 0), np.stack(ds_, 0), np.stack(vs_, 0)
 
 
 class VanillaBatcher:
@@ -48,7 +61,7 @@ class VanillaBatcher:
         self.rng = np.random.RandomState(
             cfg.seed if seed is None else seed
         )
-        self.origins, self.dirs = _np_rays(scene)
+        self.origins, self.dirs, self.vdirs = _np_rays(scene)
         self.step = 0
         h, w = scene.H, scene.W
         self._all_coords = np.stack(
@@ -145,13 +158,12 @@ class VanillaBatcher:
         batch = {
             "origins": self.origins[img_i][r, c],
             "directions": self.dirs[img_i][r, c],
+            "viewdirs": self.vdirs[img_i][r, c],
             "rgb": target[r, c],
             "depth": scene.depths[img_i][r, c],
             "mask": scene.masks[img_i][r, c].astype(np.float32),
             "mono_disp": scene.mono_disp[img_i][r, c],
         }
-        d = batch["directions"]
-        batch["viewdirs"] = d / np.linalg.norm(d, axis=-1, keepdims=True)
         # Pseudo-label rays carry a x0.1 loss scale (run_nerf_view.py:
         # 1670-1673 `loss + 0.1 * img_loss` for non-train views).
         batch["loss_scale"] = np.float32(0.1 if pseudo else 1.0)
@@ -179,12 +191,13 @@ class AllImagesBatcher:
         scene.ensure_priors()
         self.cfg = cfg
         self.rng = np.random.RandomState(cfg.seed if seed is None else seed)
-        origins, dirs = _np_rays(scene)
+        origins, dirs, vdirs = _np_rays(scene)
         tr = np.asarray(scene.i_train)
         flat = lambda x: x[tr].reshape(-1, *x.shape[3:])
         self.pool = {
             "origins": flat(origins).astype(np.float32),
             "directions": flat(dirs).astype(np.float32),
+            "viewdirs": flat(vdirs).astype(np.float32),
             "rgb": flat(scene.images).astype(np.float32),
             "depth": scene.depths[tr].reshape(-1).astype(np.float32),
             "mask": scene.masks[tr].reshape(-1).astype(np.float32),
@@ -201,10 +214,7 @@ class AllImagesBatcher:
             self.i = 0
         idx = self.perm[self.i : self.i + bs]
         self.i += bs
-        batch = {k: v[idx] for k, v in self.pool.items()}
-        d = batch["directions"]
-        batch["viewdirs"] = d / np.linalg.norm(d, axis=-1, keepdims=True)
-        return batch
+        return {k: v[idx] for k, v in self.pool.items()}
 
     def __iter__(self):
         return self
@@ -228,9 +238,7 @@ class MipBatcher:
         self.cfg = cfg
         self.step = 0
         self.rng = np.random.RandomState(cfg.seed if seed is None else seed)
-        self.origins, self.dirs = _np_rays(scene)
-        norms = np.linalg.norm(self.dirs, axis=-1, keepdims=True)
-        self.viewdirs = self.dirs / norms
+        self.origins, self.dirs, self.viewdirs = _np_rays(scene)
         dx = np.sqrt(
             np.sum((self.dirs[:, :, :-1] - self.dirs[:, :, 1:]) ** 2, -1)
         )

@@ -104,3 +104,22 @@ def test_pseudo_label_branch(scene):
     assert len(scales) == 2
     assert min(scales) == pytest.approx(0.1)
     assert max(scales) == pytest.approx(1.0)
+
+
+def test_ndc_scene_rays_are_warped(scene):
+    """For use_ndc scenes, training rays arrive NDC-warped (origins on the
+    near plane, z=-1) while viewdirs stay in camera/world space."""
+    import dataclasses
+
+    ndc_scene = dataclasses.replace(scene)
+    ndc_scene.use_ndc = True
+    ndc_scene.near, ndc_scene.far = 0.0, 1.0
+    cfg = Config(N_rand=64, n_patches=1, patch_size=8)
+    b = VanillaBatcher(ndc_scene, cfg)
+    batch = b.next_batch()
+    np.testing.assert_allclose(batch["origins"][:, 2], -1.0, atol=1e-4)
+    # viewdirs are unit-norm world-space directions (not NDC)
+    np.testing.assert_allclose(
+        np.linalg.norm(batch["viewdirs"], axis=-1), 1.0, atol=1e-5
+    )
+    assert not np.allclose(batch["directions"], batch["viewdirs"])
