@@ -178,10 +178,16 @@ def load_dtu(
 
         if crop_images:
             h, w = img.shape[:2]
+            r0, r1, c0, c1 = CROP
+            if h // 2 < r1 or w // 2 < c1:
+                raise ValueError(
+                    f"DTU crop {CROP} needs >= {2 * r1}x{2 * c1} images, "
+                    f"got {h}x{w}; pass crop_images=False for non-standard "
+                    "resolutions"
+                )
             img = cv2.resize(
                 img, (w // 2, h // 2), interpolation=cv2.INTER_AREA
             )
-            r0, r1, c0, c1 = CROP
             img = img[r0:r1, c0:c1]
             intrinsic[:2] *= 0.5
             intrinsic[0, 2] -= c0
