@@ -227,3 +227,34 @@ def test_loop_periodic_test_render(scene):
 
     out = "/tmp/cnerf_test_logs/rnd/train_renders"
     assert os.path.isfile(os.path.join(out, "color_000.png"))
+
+
+def test_sharded_render_matches_single_device(scene):
+    """shard_map render over the 8-device mesh == plain model.apply."""
+    from consistentnerf_tpu.parallel.distributed_render import (
+        render_image_sharded,
+    )
+    from consistentnerf_tpu.train import evaluation
+
+    cfg = tiny_vanilla_cfg(N_importance=0)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    state = loop_lib.init_state(cfg, model, batcher.next_batch())
+    mesh = create_mesh()
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+
+    out_sharded = render_image_sharded(
+        model, cfg, state.params, rays, mesh
+    )
+    flat = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).reshape(-1, x.shape[-1]), rays
+    )
+    out_ref = model.apply(state.params, None, flat)
+    np.testing.assert_allclose(
+        out_sharded["rgb"].reshape(-1, 3), np.asarray(out_ref["rgb"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        out_sharded["depth"].reshape(-1), np.asarray(out_ref["depth"]),
+        atol=1e-5,
+    )
