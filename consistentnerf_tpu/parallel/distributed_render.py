@@ -65,15 +65,28 @@ def build_sharded_render_fn(
             for k, v in local.items()
         }
 
+    in_specs = (
+        jax.tree_util.tree_map(
+            lambda _: P(axis),
+            Rays(origins=0, directions=0, viewdirs=0, radii=0, lossmult=0,
+                 near=0, far=0),
+        ),
+    )
+    out_specs = {k: P() for k in ["rgb", "depth", "acc"]}
+    import inspect
+
+    kwargs = {}
+    sig = inspect.signature(shard_map)
+    # The all_gather'ed outputs are replicated, but the static replication
+    # checker can't prove it — disable it under whichever name this jax
+    # version uses.
+    for flag in ("check_vma", "check_rep"):
+        if flag in sig.parameters:
+            kwargs[flag] = False
+            break
     sharded = shard_map(
-        per_device_render,
-        mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: P(axis), Rays(
-            origins=0, directions=0, viewdirs=0, radii=0, lossmult=0,
-            near=0, far=0,
-        )),),
-        out_specs={k: P() for k in ["rgb", "depth", "acc"]},
-        check_rep=False,
+        per_device_render, mesh=mesh, in_specs=in_specs,
+        out_specs=out_specs, **kwargs,
     )
 
     @jax.jit
