@@ -258,3 +258,20 @@ def test_sharded_render_matches_single_device(scene):
         out_sharded["depth"].reshape(-1), np.asarray(out_ref["depth"]),
         atol=1e-5,
     )
+
+
+def test_mip_converges_on_synthetic(scene):
+    """~150 steps of the tiny mip model must lift PSNR on the sphere."""
+    cfg = tiny_mip_cfg(
+        total_iters=150, lr_init=5e-3, lr_final=5e-4, lr_delay_steps=0,
+        basedir="/tmp/cnerf_test_logs", expname="mipconv",
+        checkpoint_every=100000, compute_depth_metrics=False,
+        compute_mono_depth_metrics=False, N_rand=0, i_print=10,
+    )
+    import shutil
+
+    shutil.rmtree("/tmp/cnerf_test_logs/mipconv", ignore_errors=True)
+    result = loop_lib.train(cfg, scene, num_steps=150, use_prefetch=False,
+                            log_fn=lambda s: None)
+    psnrs = [float(h["psnr"]) for h in result.stats_history]
+    assert psnrs[-1] > psnrs[0] + 2.0, f"no convergence: {psnrs}"
