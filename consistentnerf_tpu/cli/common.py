@@ -22,10 +22,18 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--scene", type=str, default=None,
                    help="named scene preset from configs.scenes")
+    p.add_argument("--list-scenes", action="store_true",
+                   help="list scene presets and exit")
     return p
 
 
 def resolve_config(args) -> Config:
+    if getattr(args, "list_scenes", False):
+        from consistentnerf_tpu.configs import scenes
+
+        for name in scenes.list_scenes():
+            print(name)
+        raise SystemExit(0)
     if args.scene:
         from consistentnerf_tpu.configs import scenes
 
