@@ -146,3 +146,59 @@ def test_visualize_rays():
     img = vis.visualize_rays(t_vals, weights, rgbs)
     assert img.ndim == 3 and img.shape[-1] == 3
     assert img.min() >= 0 and img.max() <= 1
+
+
+def test_compute_image_metrics_masked_and_lpips():
+    from consistentnerf_tpu.train.evaluation import compute_image_metrics
+    from consistentnerf_tpu.train.lpips import LPIPS
+
+    rng = np.random.RandomState(7)
+    gt = rng.rand(32, 32, 3).astype(np.float32)
+    pred = np.clip(gt + 0.05 * rng.randn(32, 32, 3), 0, 1).astype(np.float32)
+    mask = (rng.rand(32, 32) > 0.5).astype(np.float32)
+    lp = LPIPS(weights_path=None)
+    m = compute_image_metrics(pred, gt, lp, mask)
+    for k in ["psnr", "ssim", "census_err", "lpips", "avg_err",
+              "masked_psnr", "masked_ssim", "masked_lpips"]:
+        assert k in m and np.isfinite(m[k]), k
+    assert m["psnr"] > 20
+
+
+def test_imported_torch_ckpt_renders():
+    """Full circle: reference-format .tar -> import -> render an image."""
+    import tempfile
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_torch_ckpt_import import _make_reference_state_dict
+
+    from consistentnerf_tpu.cli.import_torch_ckpt import import_checkpoint
+    from consistentnerf_tpu.models.factory import make_model
+
+    rng = np.random.RandomState(3)
+    sd_c = _make_reference_state_dict(rng, width=32)
+    sd_f = _make_reference_state_dict(rng, width=32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "050000.tar")
+        torch.save(
+            {"global_step": 50000, "network_fn_state_dict": sd_c,
+             "network_fine_state_dict": sd_f},
+            path,
+        )
+        params, step = import_checkpoint(path)
+
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    scene = synthetic.make_scene(n_views=3, H=16, W=16).to_scene_data()
+    cfg = Config(
+        backbone="vanilla", netdepth=8, netwidth=32, N_samples=8,
+        N_importance=4, render_chunk_size=128, use_tensorboard=False,
+    )
+    model = make_model(cfg)
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out = render_lib.render_image(model, cfg, params, rays)
+    assert out["rgb"].shape == (16, 16, 3)
+    assert np.all(np.isfinite(out["rgb"]))
