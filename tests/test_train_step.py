@@ -275,3 +275,22 @@ def test_mip_converges_on_synthetic(scene):
                             log_fn=lambda s: None)
     psnrs = [float(h["psnr"]) for h in result.stats_history]
     assert psnrs[-1] > psnrs[0] + 2.0, f"no convergence: {psnrs}"
+
+
+def test_training_is_seed_deterministic(scene):
+    """Same seed => bitwise-identical parameters after several steps."""
+    cfg = tiny_vanilla_cfg(seed=11)
+    model = make_model(cfg)
+
+    def run():
+        batcher = VanillaBatcher(scene, cfg, seed=11)
+        batch = batcher.next_batch()
+        state = loop_lib.init_state(cfg, model, batch)
+        ts = step_lib.build_train_step(model, cfg, donate=False)
+        key = jax.random.PRNGKey(cfg.seed)
+        for _ in range(3):
+            state, _ = ts(state, batcher.next_batch(), key)
+        return np.asarray(state.params["params"]["fine"]["pts_0"]["kernel"])
+
+    k1, k2 = run(), run()
+    np.testing.assert_array_equal(k1, k2)
