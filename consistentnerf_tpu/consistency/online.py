@@ -62,14 +62,20 @@ def build_ref_rays(
         )
         weight = weight * (diff < tau).astype(jnp.float32)
 
-    # Reference-view rays through the projected pixels
-    # (get_ref_rays/get_rays_ref, run_nerf_view.py:553-627): camera-frame
-    # direction [(x-cx)/fx, (y-cy)/fy, 1] rotated by the ref rotation.
+    # Reference-view rays through the projected pixels. NOTE an intentional
+    # deviation from get_ref_rays (run_nerf_view.py:576-627): the reference
+    # builds [(x-cx)/fx, (y-cy)/fy, +1] and rotates it by the OpenGL c2w,
+    # which under its own get_rays convention ([(i-cx)/fx, -(j-cy)/fy, -1],
+    # run_nerf_helpers.py:164) yields rays that are y-mirrored and point
+    # *behind* the camera — they do not pass through the pixels whose
+    # rgb/depth are gathered as targets. We use the consistent pixel-ray
+    # convention so the rendered ray and its supervision target agree
+    # (verified against get_rays in tests/test_consistency.py).
     dirs_cam = jnp.stack(
         [
             (x - K[0, 2]) / K[0, 0],
-            (y - K[1, 2]) / K[1, 1],
-            jnp.ones_like(x),
+            -(y - K[1, 2]) / K[1, 1],
+            -jnp.ones_like(x),
         ],
         -1,
     )

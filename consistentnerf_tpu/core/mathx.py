@@ -144,6 +144,10 @@ def compute_tv_norm(values, losstype="l2", weighting=None):
 
 
 def compute_tvnorm_weight(step, max_step, weight_start=0.0, weight_end=0.0):
-    """Linearly annealed loss weight for the TV norm (math.py:259)."""
-    w = np.clip(step * 1.0 / (1 if (max_step < 1) else max_step), 0, 1)
+    """Linearly annealed loss weight for the TV norm (math.py:259).
+
+    jnp-based so it works both host-side and inside a jitted step
+    (train/step.py evaluates it from the traced `state.step`).
+    """
+    w = jnp.clip(step * 1.0 / (1 if (max_step < 1) else max_step), 0, 1)
     return weight_start * (1 - w) + w * weight_end

@@ -384,27 +384,56 @@ class MipBatcher:
 
 
 class Prefetcher:
-    """Thread + bounded queue prefetch (datasets.py:443-533 pattern)."""
+    """Thread + bounded queue prefetch (datasets.py:443-533 pattern).
+
+    The producer generates ONE batch at a time and retries the put until
+    it lands (or `close()` is called), so no batch is ever dropped and
+    the consumed stream is exactly the batcher's stream — seeded runs are
+    reproducible with prefetch on. Batcher exceptions are captured and
+    re-raised in the consumer's `__next__`.
+    """
+
+    _SENTINEL = object()
 
     def __init__(self, batcher: Iterator, depth: int = 3):
         self.batcher = batcher
         self.queue: "queue.Queue" = queue.Queue(depth)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
     def _run(self):
-        while not self._stop.is_set():
-            try:
-                self.queue.put(next(self.batcher), timeout=1.0)
-            except queue.Full:
-                continue
+        try:
+            while not self._stop.is_set():
+                batch = next(self.batcher)
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # surfaced in __next__
+            self._error = exc
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self.queue.get()
+        while True:
+            try:
+                return self.queue.get(timeout=0.5)
+            except queue.Empty:
+                if self._error is not None:
+                    err, self._error = self._error, None
+                    if isinstance(err, StopIteration):
+                        raise StopIteration
+                    raise RuntimeError(
+                        "Prefetcher batcher thread failed"
+                    ) from err
+                if not self.thread.is_alive():
+                    raise StopIteration
+                continue
 
     def close(self):
         self._stop.set()

@@ -82,9 +82,17 @@ def flatten_params(params, use_viewdirs: bool = True,
 
 
 def _mlp_body(pts, views, weights, *, net_depth, skips, multires,
-              multires_views, use_viewdirs):
-    """The shared forward math, written on values (works in/out of kernel)."""
-    pts_embed = _posenc(pts, multires)
+              multires_views, use_viewdirs, compute_dtype=jnp.float32):
+    """The shared forward math, written on values (works in/out of kernel).
+
+    With compute_dtype=bfloat16 the kernel operands of every dot are bf16
+    (weights must arrive pre-cast) with fp32 MXU accumulation
+    (`preferred_element_type`), fp32 biases and fp32 outputs — the
+    single-dtype restructure that avoids Mosaic's mixed-precision
+    miscompile while running the MXU at full bf16 rate.
+    """
+    cd = compute_dtype
+    pts_embed = _posenc(pts, multires).astype(cd)  # PE sin/cos in fp32
     h = pts_embed
     wi = 0
     for i in range(net_depth):
@@ -92,37 +100,52 @@ def _mlp_body(pts, views, weights, *, net_depth, skips, multires,
         wi += 2
         h = jnp.maximum(
             jnp.dot(h, w, preferred_element_type=jnp.float32) + b, 0.0
-        )
+        ).astype(cd)
         if i in skips:
             h = jnp.concatenate([pts_embed, h], axis=-1)
     if use_viewdirs:
-        views_embed = _posenc(views, multires_views)
+        views_embed = _posenc(views, multires_views).astype(cd)
         alpha_w, alpha_b = weights[wi], weights[wi + 1]
         feat_w, feat_b = weights[wi + 2], weights[wi + 3]
         v_w, v_b = weights[wi + 4], weights[wi + 5]
         rgb_w, rgb_b = weights[wi + 6], weights[wi + 7]
         alpha = jnp.dot(h, alpha_w,
                         preferred_element_type=jnp.float32) + alpha_b
-        feature = jnp.dot(h, feat_w,
-                          preferred_element_type=jnp.float32) + feat_b
+        feature = (
+            jnp.dot(h, feat_w, preferred_element_type=jnp.float32) + feat_b
+        ).astype(cd)
         hv = jnp.concatenate([feature, views_embed], axis=-1)
         hv = jnp.maximum(
             jnp.dot(hv, v_w, preferred_element_type=jnp.float32) + v_b, 0.0
-        )
+        ).astype(cd)
         rgb = jnp.dot(hv, rgb_w, preferred_element_type=jnp.float32) + rgb_b
-        return jnp.concatenate([rgb, alpha], axis=-1)
+        return jnp.concatenate(
+            [rgb, alpha.astype(jnp.float32)], axis=-1
+        )
     w, b = weights[wi], weights[wi + 1]
     return jnp.dot(h, w, preferred_element_type=jnp.float32) + b
 
 
+def cast_weight_list(weights, compute_dtype):
+    """Cast the kernels (even slots) of a flat weight list to the compute
+    dtype; biases (odd slots) stay fp32 — they add into the fp32 MXU
+    accumulator."""
+    return [
+        w.astype(compute_dtype) if i % 2 == 0 else w.astype(jnp.float32)
+        for i, w in enumerate(weights)
+    ]
+
+
 def reference_mlp_apply(params, pts, viewdirs, *, net_depth=8, skips=(4,),
-                        multires=10, multires_views=4, use_viewdirs=True):
+                        multires=10, multires_views=4, use_viewdirs=True,
+                        compute_dtype=jnp.float32):
     """Pure-XLA oracle with the same weight layout as the kernel."""
     weights = flatten_params(params, use_viewdirs, net_depth)
+    weights = cast_weight_list(weights, compute_dtype)
     return _mlp_body(
         pts, viewdirs, weights, net_depth=net_depth, skips=tuple(skips),
         multires=multires, multires_views=multires_views,
-        use_viewdirs=use_viewdirs,
+        use_viewdirs=use_viewdirs, compute_dtype=compute_dtype,
     )
 
 
@@ -130,7 +153,7 @@ def reference_mlp_apply(params, pts, viewdirs, *, net_depth=8, skips=(4,),
     jax.jit,
     static_argnames=(
         "net_depth", "skips", "multires", "multires_views", "use_viewdirs",
-        "tile", "interpret",
+        "tile", "interpret", "compute_dtype",
     ),
 )
 def fused_mlp(
@@ -145,6 +168,7 @@ def fused_mlp(
     use_viewdirs: bool = True,
     tile: int = DEFAULT_TILE,
     interpret: bool | None = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Evaluate the NeRF MLP on [N, 3] points (+viewdirs). Returns [N, 4].
 
@@ -157,6 +181,9 @@ def fused_mlp(
                flatten_params(params, use_viewdirs, net_depth)]
     # Biases must be >=2D for TPU vector layouts inside the kernel.
     weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    # Pre-cast kernels to the compute dtype OUTSIDE the kernel (once for
+    # the whole grid) so the kernel body is single-dtype.
+    weights = cast_weight_list(weights, compute_dtype)
 
     pad = (-n) % tile
     if pad:
@@ -178,6 +205,7 @@ def fused_mlp(
             pts_ref[:], views_ref[:], w_vals, net_depth=net_depth,
             skips=tuple(skips), multires=multires,
             multires_views=multires_views, use_viewdirs=use_viewdirs,
+            compute_dtype=compute_dtype,
         )
 
     def _whole(w):

@@ -32,15 +32,19 @@ TRAIN_TILE = 256
 
 
 def _forward_tile(pts, views, weights, *, net_depth, skips, multires,
-                  multires_views):
+                  multires_views, compute_dtype=jnp.float32):
     """Forward for one tile, returning output + all post-relu activations.
 
-    weights: flat list as in flatten_params (viewdirs variant).
+    weights: flat list as in flatten_params (viewdirs variant), with the
+    kernels pre-cast to `compute_dtype` (biases fp32). All dot operands
+    are single-dtype with fp32 MXU accumulation; activations are carried
+    at the compute dtype so the VMEM footprint halves at bf16.
     Returns (out [T,4], x0, acts list[D], h7, hv_in, hv).
     """
-    x0 = fm._posenc(pts, multires)
-    v0 = fm._posenc(views, multires_views)
-    acts = []  # input to each trunk layer AFTER any skip concat
+    cd = compute_dtype
+    x0 = fm._posenc(pts, multires).astype(cd)
+    v0 = fm._posenc(views, multires_views).astype(cd)
+    acts = []  # post-relu activation of each trunk layer (compute dtype)
     h = x0
     wi = 0
     layer_inputs = []
@@ -50,7 +54,7 @@ def _forward_tile(pts, views, weights, *, net_depth, skips, multires,
         wi += 2
         h = jnp.maximum(
             jnp.dot(h, w, preferred_element_type=jnp.float32) + b, 0.0
-        )
+        ).astype(cd)
         acts.append(h)
         if i in skips:
             h = jnp.concatenate([x0, h], axis=-1)
@@ -61,23 +65,31 @@ def _forward_tile(pts, views, weights, *, net_depth, skips, multires,
     h_last = h
     alpha = jnp.dot(h_last, alpha_w,
                     preferred_element_type=jnp.float32) + alpha_b
-    feat = jnp.dot(h_last, feat_w,
-                   preferred_element_type=jnp.float32) + feat_b
+    feat = (
+        jnp.dot(h_last, feat_w, preferred_element_type=jnp.float32) + feat_b
+    ).astype(cd)
     hv_in = jnp.concatenate([feat, v0], axis=-1)
     hv = jnp.maximum(
         jnp.dot(hv_in, v_w, preferred_element_type=jnp.float32) + v_b, 0.0
-    )
+    ).astype(cd)
     rgb = jnp.dot(hv, rgb_w, preferred_element_type=jnp.float32) + rgb_b
     out = jnp.concatenate([rgb, alpha], axis=-1)
     return out, x0, layer_inputs, acts, h_last, hv_in, hv
 
 
 def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
-                   multires_views):
-    """Recompute forward + compute all weight/bias grads for one tile."""
+                   multires_views, compute_dtype=jnp.float32):
+    """Recompute forward + compute all weight/bias grads for one tile.
+
+    Upstream gradients are propagated in fp32 (relu masks applied there)
+    and cast to the compute dtype only as dot operands, mirroring XLA's
+    bf16 backward: bf16 multiplicands, fp32 accumulation everywhere.
+    """
+    cd = compute_dtype
     (out, x0, layer_inputs, acts, h_last, hv_in, hv) = _forward_tile(
         pts, views, weights, net_depth=net_depth, skips=skips,
         multires=multires, multires_views=multires_views,
+        compute_dtype=cd,
     )
     P = x0.shape[-1]
     wi = 2 * net_depth
@@ -89,10 +101,16 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
     grads = [None] * len(weights)
 
     def dot_t(a, b):
+        # a [T, M] (compute dtype), b [T, N] fp32 upstream grad -> [M, N]
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            a, b.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def dot_wt(gv, w):
+        # gv [T, N] fp32, w [M, N] compute dtype -> gv @ w.T fp32
+        return jnp.dot(gv.astype(cd), w.T,
+                       preferred_element_type=jnp.float32)
 
     g_rgb = g[:, :3]
     g_alpha = g[:, 3:4]
@@ -101,11 +119,10 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
     grads[wi + 6] = dot_t(hv, g_rgb)
     grads[wi + 7] = jnp.sum(g_rgb, axis=0, keepdims=True)
     # views layer
-    g_hv = jnp.dot(g_rgb, rgb_w.T,
-                   preferred_element_type=jnp.float32) * (hv > 0)
+    g_hv = dot_wt(g_rgb, rgb_w) * (hv > 0)
     grads[wi + 4] = dot_t(hv_in, g_hv)
     grads[wi + 5] = jnp.sum(g_hv, axis=0, keepdims=True)
-    g_hv_in = jnp.dot(g_hv, v_w.T, preferred_element_type=jnp.float32)
+    g_hv_in = dot_wt(g_hv, v_w)
     g_feat = g_hv_in[:, : feat_w.shape[-1]]
     # feature + alpha heads (both take h_last)
     grads[wi + 2] = dot_t(h_last, g_feat)
@@ -113,9 +130,7 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
     grads[wi] = dot_t(h_last, g_alpha)
     grads[wi + 1] = jnp.sum(g_alpha, axis=0, keepdims=True)
 
-    g_h = jnp.dot(g_feat, feat_w.T, preferred_element_type=jnp.float32) + (
-        jnp.dot(g_alpha, alpha_w.T, preferred_element_type=jnp.float32)
-    )
+    g_h = dot_wt(g_feat, feat_w) + dot_wt(g_alpha, alpha_w)
     # trunk, backwards
     for i in reversed(range(net_depth)):
         if i in skips:
@@ -128,8 +143,7 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
         grads[2 * i] = dot_t(layer_inputs[i], g_pre)
         grads[2 * i + 1] = jnp.sum(g_pre, axis=0, keepdims=True)
         if i > 0:
-            w = weights[2 * i]
-            g_h = jnp.dot(g_pre, w.T, preferred_element_type=jnp.float32)
+            g_h = dot_wt(g_pre, weights[2 * i])
     return grads
 
 
@@ -142,7 +156,7 @@ def _pad_rows(x, n):
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
 )
 def fused_mlp_train(
     weights: Sequence[jnp.ndarray],
@@ -154,16 +168,23 @@ def fused_mlp_train(
     multires_views: int = 4,
     tile: int = TRAIN_TILE,
     interpret: bool | None = None,
+    compute_dtype=jnp.float32,
 ):
     """Differentiable fused MLP. weights: flat tuple (flatten_params order,
-    biases [1, C]). Returns [N, 4]."""
+    biases [1, C], fp32 — cast to compute_dtype internally so the weight
+    cotangents stay fp32). Returns [N, 4]."""
     return _fwd_pallas(weights, pts, views, net_depth, skips, multires,
-                       multires_views, tile, interpret)
+                       multires_views, tile, interpret, compute_dtype)
+
+
+def _cast_ws(weights, compute_dtype):
+    return tuple(fm.cast_weight_list(list(weights), compute_dtype))
 
 
 def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
-                multires_views, tile, interpret):
+                multires_views, tile, interpret, compute_dtype):
     interpret = fm.auto_interpret(interpret)
+    weights = _cast_ws(weights, compute_dtype)
     n = pts.shape[0]
     pts_p = _pad_rows(pts, -(-n // tile) * tile)
     views_p = _pad_rows(views, pts_p.shape[0])
@@ -175,7 +196,7 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
         out, *_ = _forward_tile(
             pts_ref[:], views_ref[:], w_vals, net_depth=net_depth,
             skips=tuple(skips), multires=multires,
-            multires_views=multires_views,
+            multires_views=multires_views, compute_dtype=compute_dtype,
         )
         out_ref[:] = out
 
@@ -201,8 +222,9 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
 
 
 def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
-                multires_views, tile, interpret):
+                multires_views, tile, interpret, compute_dtype):
     interpret = fm.auto_interpret(interpret)
+    weights = _cast_ws(weights, compute_dtype)
     n = pts.shape[0]
     n_pad = -(-n // tile) * tile
     pts_p = _pad_rows(pts, n_pad)
@@ -218,7 +240,7 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
         tile_grads = _backward_tile(
             g_ref[:], pts_ref[:], views_ref[:], w_vals,
             net_depth=net_depth, skips=tuple(skips), multires=multires,
-            multires_views=multires_views,
+            multires_views=multires_views, compute_dtype=compute_dtype,
         )
         # Accumulate into VMEM scratch (persists across the sequential
         # grid); outputs are written once on the last step, so Mosaic
@@ -267,18 +289,18 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
 
 
 def _vjp_fwd(weights, pts, views, net_depth, skips, multires,
-             multires_views, tile, interpret):
+             multires_views, tile, interpret, compute_dtype):
     out = _fwd_pallas(weights, pts, views, net_depth, skips, multires,
-                      multires_views, tile, interpret)
+                      multires_views, tile, interpret, compute_dtype)
     return out, (weights, pts, views)
 
 
 def _vjp_bwd(net_depth, skips, multires, multires_views, tile, interpret,
-             residuals, g):
+             compute_dtype, residuals, g):
     weights, pts, views = residuals
     d_weights = _bwd_pallas(
         weights, pts, views, g, net_depth, skips, multires, multires_views,
-        tile, interpret,
+        tile, interpret, compute_dtype,
     )
     return (
         tuple(d_weights),

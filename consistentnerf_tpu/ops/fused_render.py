@@ -27,6 +27,7 @@ from consistentnerf_tpu.ops import fused_mlp as fm
     static_argnames=(
         "num_samples", "num_importance", "multires", "multires_views",
         "net_depth", "white_bkgd", "lindisp", "tile", "interpret",
+        "compute_dtype",
     ),
 )
 def fused_render_rays(
@@ -42,6 +43,7 @@ def fused_render_rays(
     lindisp: bool = False,
     tile: int = fm.DEFAULT_TILE,
     interpret: bool | None = None,
+    compute_dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic render of a flat Rays batch via the fused kernel."""
     p = params["params"] if "params" in params else params
@@ -60,6 +62,7 @@ def fused_render_rays(
         multires_views=multires_views,
         tile=tile,
         interpret=interpret,
+        compute_dtype=compute_dtype,
     )
 
     def eval_level(mlp_params, z_vals):

@@ -51,6 +51,7 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         multires_views=cfg.multires_views,
         tile=tile,
         interpret=interpret,
+        compute_dtype=jnp.dtype(cfg.compute_dtype).type,
     )
 
     def eval_level(branch, z_vals):
@@ -106,10 +107,12 @@ def build_fused_vanilla_train_step(
     cfg,
     tx: Optional[optax.GradientTransformation] = None,
     donate: bool = True,
-    tile: int = 256,
+    tile: Optional[int] = None,
+    lpips_params=None,
 ) -> Callable:
     """train_step(state, batch, rng) -> (state, stats), fused-kernel MLPs."""
     tx = tx or make_optimizer(cfg)
+    tile = tile or cfg.fused_tile
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -124,7 +127,7 @@ def build_fused_vanilla_train_step(
                 tile=tile,
             )
             return losses_lib.vanilla_losses(
-                outputs, batch, cfg, cfg.far, temp, None
+                outputs, batch, cfg, cfg.far, temp, lpips_params
             )
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -126,7 +126,10 @@ def evaluate(
     import time
 
     per_view: List[Dict[str, float]] = []
-    eval_rays_per_sec = 0.0
+    # Per-image eval throughput (RegNeRF train.py:518-521). The first
+    # render includes jit compile, so exclude it from the average (unless
+    # it is the only view) and average across the remaining views.
+    ray_rates: List[float] = []
     for n, vi in enumerate(views):
         if n % max(1, cfg.eval_render_interval) != 0:
             continue
@@ -134,8 +137,9 @@ def evaluate(
         t0 = time.perf_counter()
         outs = {k: np.asarray(v) for k, v in render(rays).items()}
         dt = time.perf_counter() - t0
-        # Per-image eval throughput (RegNeRF train.py:518-521).
-        eval_rays_per_sec = rays.origins.shape[0] * rays.origins.shape[1] / dt
+        ray_rates.append(
+            rays.origins.shape[0] * rays.origins.shape[1] / dt
+        )
         gt = scene.images[vi]
         mask = None
         if cfg.dataset_type == "dtu" and not cfg.dtu_no_mask_eval:
@@ -173,7 +177,8 @@ def evaluate(
         for k in sorted(keys):
             vals = [m[k] for m in per_view if k in m]
             agg[k] = float(np.mean(vals))
-        agg["eval_rays_per_sec"] = eval_rays_per_sec
+        warm = ray_rates[1:] if len(ray_rates) > 1 else ray_rates
+        agg["eval_rays_per_sec"] = float(np.mean(warm))
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         # Per-metric txt dumps (eval.py:286-290 interface).

@@ -90,12 +90,34 @@ def train(
     state = ckpt.restore(state)
     start_step = int(state.step)
 
+    # Train-time patch LPIPS (run_nerf_view.py:1726-1728, weight +0.005):
+    # engage it whenever a weights path is configured. LPIPS falls back to
+    # a deterministic random-init trunk when the file is absent — still a
+    # valid perceptual distance, but flag it.
+    lpips_params = None
+    if cfg.backbone == "vanilla" and cfg.lpips_weights_path:
+        from consistentnerf_tpu.train import lpips as lpips_mod
+
+        _lp = lpips_mod.LPIPS(cfg.lpips_weights_path)
+        lpips_params = _lp.params
+        if not _lp.is_calibrated:
+            log_fn(
+                f"WARNING: lpips_weights_path={cfg.lpips_weights_path!r} "
+                "not found; training with an UNCALIBRATED random-init LPIPS"
+            )
+
     if cfg.use_fused_train and cfg.backbone == "vanilla":
         from consistentnerf_tpu.ops.fused_train import (
             build_fused_vanilla_train_step,
         )
 
-        train_step = build_fused_vanilla_train_step(cfg)
+        train_step = build_fused_vanilla_train_step(
+            cfg, lpips_params=lpips_params
+        )
+    elif cfg.backbone == "vanilla":
+        train_step = step_lib.build_vanilla_train_step(
+            model, cfg, lpips_params=lpips_params
+        )
     else:
         train_step = step_lib.build_train_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())

@@ -101,6 +101,15 @@ def vanilla_losses(
 
     loss = jnp.array(0.0)
 
+    # Patch terms assume the first n_patches*patch_size^2 rays form coherent
+    # 16x16 patches. That holds for the single-image batcher only: in
+    # use_batching mode (AllImagesBatcher) every ray is an independent draw
+    # from the shuffled global pool, so patch SSIM/LPIPS and the scale/shift
+    # -invariant mono-depth loss would inject meaningless gradients — skip
+    # them there (static gate; the reference's use_batching path likewise
+    # has no patch terms, run_nerf.py:680-701).
+    has_patches = (not cfg.use_batching) and cfg.n_patches > 0
+
     # Fine level.
     img_loss = _rgb_loss(outputs["rgb"], target, mask, cfg, temp)
     loss = loss + loss_scale * img_loss
@@ -109,18 +118,19 @@ def vanilla_losses(
         mask_losses.img2mse(outputs["rgb"], target)
     )
 
-    mono, ssim_val, lp = _patch_terms(
-        outputs["rgb"], outputs["depth"], batch, cfg, lpips_params
-    )
-    loss = (
-        loss
-        + cfg.mono_depth_loss_mult * mono
-        - cfg.patch_ssim_loss_mult * ssim_val
-        + cfg.patch_lpips_loss_mult * lp
-    )
-    stats["mono_depth_loss"] = mono
-    stats["patch_ssim"] = ssim_val
-    stats["patch_lpips"] = lp
+    if has_patches:
+        mono, ssim_val, lp = _patch_terms(
+            outputs["rgb"], outputs["depth"], batch, cfg, lpips_params
+        )
+        loss = (
+            loss
+            + cfg.mono_depth_loss_mult * mono
+            - cfg.patch_ssim_loss_mult * ssim_val
+            + cfg.patch_lpips_loss_mult * lp
+        )
+        stats["mono_depth_loss"] = mono
+        stats["patch_ssim"] = ssim_val
+        stats["patch_lpips"] = lp
 
     if cfg.with_depth_loss:
         depth_loss = _depth_loss(
@@ -138,16 +148,17 @@ def vanilla_losses(
             mask_losses.img2mse(outputs["rgb0"], target)
         )
 
-        mono0, ssim0, lp0 = _patch_terms(
-            outputs["rgb0"], outputs["depth0"], batch, cfg, lpips_params
-        )
-        loss = (
-            loss
-            + cfg.mono_depth_loss_mult * mono0
-            - cfg.patch_ssim_loss_mult * ssim0
-            + cfg.patch_lpips_loss_mult * lp0
-        )
-        stats["mono_depth_loss0"] = mono0
+        if has_patches:
+            mono0, ssim0, lp0 = _patch_terms(
+                outputs["rgb0"], outputs["depth0"], batch, cfg, lpips_params
+            )
+            loss = (
+                loss
+                + cfg.mono_depth_loss_mult * mono0
+                - cfg.patch_ssim_loss_mult * ssim0
+                + cfg.patch_lpips_loss_mult * lp0
+            )
+            stats["mono_depth_loss0"] = mono0
 
         if cfg.with_depth_loss:
             depth_loss0 = _depth_loss(

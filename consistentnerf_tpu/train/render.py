@@ -78,6 +78,8 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
                     net_depth=cfg.netdepth,
                     white_bkgd=cfg.white_bkgd,
                     lindisp=cfg.lindisp,
+                    tile=cfg.fused_tile,
+                    compute_dtype=jnp.dtype(cfg.compute_dtype).type,
                 )
                 return {
                     "rgb": out["rgb"],

@@ -69,11 +69,12 @@ def build_vanilla_train_step(
                 params, step_rng if cfg.perturb > 0 else None, rays
             )
             if cfg.use_noise:
-                # Annealed gaussian noise on predictions before the losses
-                # (run_nerf_view.py:1633-1638; std 0.2 -> 0.05 linearly).
-                std = mask_mod.temp_schedule(
-                    state.step, cfg.total_iters, 0.2, 0.05
-                )
+                # Gaussian noise on predictions before the losses
+                # (run_nerf_view.py:1633-1638). The reference's
+                # Temp_Scheduler(total_iters, 0.2, 0.05, temp_min=0.05)
+                # decays from its base_temp *argument* (0.05), so the
+                # effective reference std is constant 0.05 — matched here.
+                std = jnp.asarray(0.05)
                 nk = jax.random.split(jax.random.fold_in(step_rng, 7), 4)
                 outputs = dict(outputs)
                 outputs["rgb"] = outputs["rgb"] + std * jax.random.normal(
@@ -156,12 +157,10 @@ def build_mip_train_step(
             frac, cfg.resample_padding_init, cfg.resample_padding_final
         )
         if cfg.depth_tvnorm_decay:
-            w = jnp.clip(
-                state.step / jnp.maximum(1, cfg.depth_tvnorm_maxstep), 0, 1
-            )
-            tvnorm_loss_weight = (
-                cfg.depth_tvnorm_loss_mult_start * (1 - w)
-                + w * cfg.depth_tvnorm_loss_mult_end
+            tvnorm_loss_weight = mathx.compute_tvnorm_weight(
+                state.step, cfg.depth_tvnorm_maxstep,
+                cfg.depth_tvnorm_loss_mult_start,
+                cfg.depth_tvnorm_loss_mult_end,
             )
         else:
             tvnorm_loss_weight = cfg.depth_tvnorm_loss_mult

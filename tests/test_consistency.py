@@ -163,3 +163,53 @@ def test_edge_masks_shapes():
     assert canny[2].sum() == 0  # non-train view empty
     assert canny[0].sum() > 0  # sphere edge detected
     assert sobel[0].sum() > 0
+
+
+def test_ref_rays_pass_through_gathered_pixels():
+    """build_ref_rays directions must match get_rays at the projected pixel
+    (the reference's get_ref_rays is y-mirrored/backwards; ours is not --
+    see consistency/online.py)."""
+    from consistentnerf_tpu.consistency import online
+
+    scn = synthetic.make_scene(n_views=4, H=32, W=32).to_scene_data()
+    tgt, ref = 0, 1
+    K = jnp.asarray(scn.K, jnp.float32)
+    ro, rd = rays_core.get_rays(scn.H, scn.W, K, scn.poses[tgt][:3, :4])
+    pts_w = (
+        jnp.asarray(ro).reshape(-1, 3)
+        + jnp.asarray(scn.depths[tgt]).reshape(-1, 1)
+        * jnp.asarray(rd).reshape(-1, 3)
+    )
+    out = online.build_ref_rays(
+        pts_w,
+        jnp.asarray(scn.poses[ref][:3, :4]),
+        jnp.asarray(scn.images[ref]),
+        jnp.asarray(scn.depths[ref]),
+        K,
+    )
+    # Recompute the projected integer pixel of every point.
+    c2w = jnp.eye(4).at[:3, :4].set(scn.poses[ref][:3, :4])
+    x, y, _, in_b = reproject.world_to_ref_pixels(
+        pts_w, jnp.linalg.inv(c2w), K, scn.H, scn.W
+    )
+    xi = np.clip(np.asarray(x), 0, scn.W - 1).astype(int)
+    yi = np.clip(np.asarray(y), 0, scn.H - 1).astype(int)
+    ref_o, ref_d = rays_core.get_rays(scn.H, scn.W, K,
+                                      scn.poses[ref][:3, :4])
+    expect_d = np.asarray(ref_d)[yi, xi]
+    sel = np.asarray(in_b)
+    assert sel.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(out["directions"])[sel], expect_d[sel], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["origins"])[sel],
+        np.asarray(ref_o)[yi, xi][sel],
+        atol=1e-5,
+    )
+    # And the gathered rgb target is the ref image at that pixel.
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_target"])[sel],
+        np.asarray(scn.images[ref])[yi, xi][sel],
+        atol=1e-6,
+    )

@@ -174,3 +174,37 @@ def test_fused_train_step_matches_xla_step():
     kf = np.asarray(s_f.params["params"]["fine"]["pts_0"]["kernel"])
     kx = np.asarray(s_x.params["params"]["fine"]["pts_0"]["kernel"])
     np.testing.assert_allclose(kf, kx, atol=1e-4)
+
+
+def test_bf16_forward_close_to_fp32_oracle():
+    """Single-dtype bf16 kernel: bf16 dot operands, fp32 accumulation.
+    Must track the fp32 oracle within bf16 tolerance."""
+    params, weights, pts, views, cfg = _setup(net_depth=8, skips=(4,))
+    expected = _oracle_fn(weights, pts, views, cfg)
+    got = fmt.fused_mlp_train(
+        weights, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+        cfg["multires"], cfg["multires_views"], 32, True, jnp.bfloat16,
+    )
+    assert got.dtype == jnp.float32
+    err = np.abs(np.asarray(got) - np.asarray(expected))
+    scale = np.abs(np.asarray(expected)).mean() + 1e-3
+    assert err.max() / scale < 0.15, (err.max(), scale)
+
+
+def test_bf16_gradients_close_to_fp32():
+    params, weights, pts, views, cfg = _setup(net_depth=4, skips=(2,), n=64)
+
+    def loss(ws, cd):
+        out = fmt.fused_mlp_train(
+            ws, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True, cd,
+        )
+        return jnp.mean(out**2)
+
+    g16 = jax.grad(functools.partial(loss, cd=jnp.bfloat16))(weights)
+    g32 = jax.grad(functools.partial(loss, cd=jnp.float32))(weights)
+    for i, (a, b) in enumerate(zip(g16, g32)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == np.float32, f"grad {i} dtype {a.dtype}"
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.1, f"weight {i}"

@@ -123,3 +123,57 @@ def test_ndc_scene_rays_are_warped(scene):
         np.linalg.norm(batch["viewdirs"], axis=-1), 1.0, atol=1e-5
     )
     assert not np.allclose(batch["directions"], batch["viewdirs"])
+
+
+class _CountingBatcher:
+    """Deterministic integer stream for prefetch-order tests."""
+
+    def __init__(self, fail_at=None, stop_at=None):
+        self.i = 0
+        self.fail_at = fail_at
+        self.stop_at = stop_at
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.stop_at is not None and self.i >= self.stop_at:
+            raise StopIteration
+        if self.fail_at is not None and self.i >= self.fail_at:
+            raise ValueError("poisoned batcher")
+        v = self.i
+        self.i += 1
+        return v
+
+
+def test_prefetcher_never_drops_batches():
+    """A slow consumer must still see the exact batcher stream (the old
+    implementation regenerated-and-dropped batches on queue.Full)."""
+    import time
+
+    p = Prefetcher(_CountingBatcher(), depth=1)
+    time.sleep(0.1)  # let the producer hit queue.Full repeatedly
+    got = []
+    for _ in range(10):
+        got.append(next(p))
+        time.sleep(0.02)
+    p.close()
+    assert got == list(range(10)), got
+
+
+def test_prefetcher_surfaces_batcher_exception():
+    p = Prefetcher(_CountingBatcher(fail_at=2), depth=4)
+    assert next(p) == 0
+    assert next(p) == 1
+    with pytest.raises(RuntimeError) as ei:
+        next(p)
+    assert isinstance(ei.value.__cause__, ValueError)
+    p.close()
+
+
+def test_prefetcher_propagates_stop_iteration():
+    p = Prefetcher(_CountingBatcher(stop_at=3), depth=4)
+    assert [next(p) for _ in range(3)] == [0, 1, 2]
+    with pytest.raises(StopIteration):
+        next(p)
+    p.close()

@@ -294,3 +294,79 @@ def test_training_is_seed_deterministic(scene):
 
     k1, k2 = run(), run()
     np.testing.assert_array_equal(k1, k2)
+
+
+def test_patch_lpips_engages_with_params(scene):
+    """With lpips_params passed, the +0.005 patch LPIPS term is nonzero
+    (run_nerf_view.py:1726-1728); without, it reports zero."""
+    from consistentnerf_tpu.train import lpips as lpips_mod
+
+    # patch_size >= 16: the VGG trunk max-pools 2x four times.
+    cfg = tiny_vanilla_cfg(patch_size=16)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+
+    lp = lpips_mod.init_params(jax.random.PRNGKey(0))
+    ts = step_lib.build_vanilla_train_step(
+        model, cfg, lpips_params=lp, donate=False
+    )
+    _, stats = ts(state, batch, jax.random.PRNGKey(0))
+    assert float(stats["patch_lpips"]) != 0.0
+    assert np.isfinite(float(stats["loss"]))
+
+    ts0 = step_lib.build_vanilla_train_step(model, cfg, donate=False)
+    _, stats0 = ts0(state, batch, jax.random.PRNGKey(0))
+    assert float(stats0["patch_lpips"]) == 0.0
+
+
+def test_loop_wires_lpips_weights_path(scene, tmp_path):
+    """cfg.lpips_weights_path engages the train-time LPIPS term end-to-end
+    (falls back to the deterministic random trunk when the file is absent)."""
+    cfg = tiny_vanilla_cfg(
+        total_iters=2, i_print=1, basedir=str(tmp_path), expname="lpipswire",
+        lpips_weights_path=str(tmp_path / "missing_lpips.npz"),
+        checkpoint_every=100000, N_samples=8, N_importance=0, N_rand=64,
+        netwidth=16, patch_size=16,
+    )
+    result = loop_lib.train(cfg, scene, num_steps=2, use_prefetch=False,
+                            log_fn=lambda s: None)
+    assert float(result.stats_history[0]["patch_lpips"]) != 0.0
+
+
+def test_patch_terms_skipped_in_use_batching_mode(scene):
+    """AllImagesBatcher rays are an incoherent shuffled pool; patch terms
+    must not contribute there."""
+    from consistentnerf_tpu.data.pipeline import AllImagesBatcher
+
+    cfg = tiny_vanilla_cfg(use_batching=True, N_rand=128, n_patches=1,
+                           patch_size=8)
+    model = make_model(cfg)
+    batcher = AllImagesBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    ts = step_lib.build_train_step(model, cfg, donate=False)
+    _, stats = ts(state, batch, jax.random.PRNGKey(0))
+    assert "mono_depth_loss" not in stats
+    assert "patch_ssim" not in stats
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_training_seed_deterministic_with_prefetch(scene, tmp_path):
+    """Same seed => identical params with the threaded Prefetcher ON
+    (requires the no-drop Prefetcher; the old one consumed batcher state)."""
+    def run(tag):
+        cfg = tiny_vanilla_cfg(
+            seed=11, total_iters=6, i_print=100,
+            basedir=str(tmp_path), expname=f"det_{tag}",
+            checkpoint_every=100000, N_samples=8, N_importance=0,
+            N_rand=64, netwidth=16,
+        )
+        result = loop_lib.train(cfg, scene, num_steps=6, use_prefetch=True,
+                                log_fn=lambda s: None)
+        return np.asarray(
+            result.state.params["params"]["coarse"]["pts_0"]["kernel"]
+        )
+
+    np.testing.assert_array_equal(run("a"), run("b"))
