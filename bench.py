@@ -1,38 +1,59 @@
-"""Benchmark: training throughput (rays/sec) of the flagship config on the
-attached accelerator. Prints ONE JSON line.
+"""Benchmark: throughput of the flagship configs on the attached
+accelerator. Prints ONE JSON line (the driver contract); `--mode` selects
+which number.
 
-Flagship = the ConsistentNeRF vanilla trainer at its production sampling
-budget (64 coarse + 128 fine samples/ray, 4096 random + 1024 patch rays per
-step, hard-mask + depth + MiDaS patch losses — `run_nerf_view.py:696-741`).
+Modes:
+  train  (default) — ConsistentNeRF vanilla trainer at production budget
+         (64 coarse + 128 fine samples/ray, 4096 random + 1024 patch rays
+         per step, hard-mask + depth + MiDaS patch losses,
+         `run_nerf_view.py:696-741`), rays/sec.
+  render — deterministic full-image render throughput (the eval/render
+         path, `run_nerf_view.py:140-180` chunk loops in the reference),
+         rays/sec.
+  mip    — mip/RegNeRF backbone train step (96x2 samples, 4x16x16 patch
+         batch + TV-norm random patches), rays/sec.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The PyTorch
-trainer's measured throughput class on a single modern GPU for this budget
-(8k-ray chunked render + 16k-point MLP chunks, two MLPs, full backward) is
-~15-30k rays/sec; we use 25,000 rays/sec as the reference point, so
-vs_baseline is rays_per_sec / 25_000 (target >= 10).
+Baseline (vs_baseline denominator): the reference publishes no numbers
+(BASELINE.md), so 25,000 rays/sec is used as the reference-class anchor
+for the PyTorch trainer on one modern GPU. Analytic bound backing that
+number: the step costs N_rays*(64+128) samples x ~0.6 MFLOP/point forward
+(63->256 + 8x256/319x256 trunk + heads) x ~3 for fwd+bwd
+= 5120*192*0.6e6*3 ~= 1.8 TFLOP/step in fp32 torch. On a ~20 fp32-TFLOPS
+GPU that is 57k rays/s at IMPOSSIBLE 100% MFU; the chunked host loops
+(8k-ray render chunks, 16k-point net chunks, per-chunk kernel launches)
+put realistic utilization at 20-45%, i.e. 12k-26k rays/s. 25k is the
+generous top of that class; vs_baseline therefore UNDERSTATES the speedup.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 REFERENCE_RAYS_PER_SEC = 25_000.0
 
 
-def main():
+def _setup_jax():
     import jax
 
-    # Persist compiled executables across processes (first compile of the
-    # full train step through the remote-compile tunnel costs minutes).
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
 
-    from consistentnerf_tpu.configs import Config
+
+def _scene():
     from consistentnerf_tpu.data import synthetic
+
+    return synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
+
+
+def bench_train() -> dict:
+    jax = _setup_jax()
+    from consistentnerf_tpu.configs import Config
     from consistentnerf_tpu.data.pipeline import VanillaBatcher
     from consistentnerf_tpu.models.factory import make_model
     from consistentnerf_tpu.parallel import create_mesh, shard_batch
@@ -52,8 +73,7 @@ def main():
         use_tensorboard=False,
         compute_dtype="bfloat16",
     )
-    scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
-
+    scene = _scene()
     mesh = create_mesh()
     model = make_model(cfg)
     batcher = VanillaBatcher(scene, cfg)
@@ -61,17 +81,24 @@ def main():
     n_rays = batch["rgb"].shape[0]
 
     state = loop_lib.init_state(cfg, model, batch)
-    train_step = step_lib.build_train_step(model, cfg)
+    if cfg.use_fused_train:
+        from consistentnerf_tpu.ops.fused_train import (
+            build_fused_vanilla_train_step,
+        )
+
+        train_step = build_fused_vanilla_train_step(cfg)
+    else:
+        train_step = step_lib.build_train_step(model, cfg)
 
     sharded = shard_batch(batch, mesh)
-
-    # Warmup/compile.
     key = jax.random.PRNGKey(0)
-    state, stats = train_step(state, sharded, key)
-    jax.block_until_ready(stats["loss"])
+    state, stats = train_step(state, sharded, key)  # compile
+    float(stats["loss"])
 
     # The shared-pool TPU shows large per-claim performance variance;
     # take the best of several trials as the hardware-capability number.
+    # Evolving-state loop + float(loss) hard sync (block_until_ready has
+    # been observed returning early through the remote TPU relay).
     n_steps = 20
     batches = [shard_batch(batcher.next_batch(), mesh) for _ in range(4)]
     best_dt = float("inf")
@@ -79,22 +106,127 @@ def main():
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, stats = train_step(state, batches[i % 4], key)
-        # Materialize the value: a hard host sync (block_until_ready has
-        # been observed returning early through the remote TPU relay).
         float(stats["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     rays_per_sec = n_steps * n_rays / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_vanilla_64c128f",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/sec",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-            }
-        )
+    return {
+        "metric": "train_rays_per_sec_vanilla_64c128f",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }
+
+
+def bench_render() -> dict:
+    jax = _setup_jax()
+    import numpy as np
+
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import evaluation
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import render as render_lib
+
+    cfg = Config(
+        backbone="vanilla", N_samples=64, N_importance=128,
+        white_bkgd=True, use_tensorboard=False, compute_dtype="bfloat16",
+        render_chunk_size=8192,
     )
+    scene = _scene()
+    model = make_model(cfg)
+    batch = VanillaBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    render = render_lib.build_render_fn(model, cfg, state.params)
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    n_rays = rays.origins.shape[0] * rays.origins.shape[1]
+    out = render(rays)  # compile
+    float(np.asarray(out["rgb"]).sum())
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = render(rays)
+        float(np.asarray(out["rgb"]).sum())
+        best = min(best, time.perf_counter() - t0)
+    rps = n_rays / best
+    # Reference render path: same MLP budget forward-only, no backward
+    # (~0.6 TFLOP per 16k-ray image in fp32) -> reference class ~3x the
+    # train number per ray; use 75k rays/s as the render anchor.
+    return {
+        "metric": "render_rays_per_sec_vanilla_64c128f",
+        "value": round(rps, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rps / 75_000.0, 3),
+    }
+
+
+def bench_mip() -> dict:
+    jax = _setup_jax()
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.parallel import create_mesh, shard_batch
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    cfg = Config(
+        backbone="mipnerf",
+        mip_num_samples=96,
+        mip_num_levels=2,
+        N_rand=4096 - 4 * 256,
+        disable_normals=True,
+        white_bkgd=True,
+        use_tensorboard=False,
+        compute_dtype="bfloat16",
+        use_hardmask=True,
+        compute_depth_metrics=True,
+        compute_mono_depth_metrics=True,
+        dataset_type="blender",
+    )
+    scene = _scene()
+    mesh = create_mesh()
+    model = make_model(cfg)
+    batcher = MipBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    n_rays = batch["rgb"].shape[0]
+    state = loop_lib.init_state(cfg, model, batch)
+    train_step = step_lib.build_train_step(model, cfg)
+    key = jax.random.PRNGKey(0)
+    sharded = shard_batch(batch, mesh)
+    state, stats = train_step(state, sharded, key)
+    float(stats["loss"])
+    n_steps = 20
+    batches = [shard_batch(batcher.next_batch(), mesh) for _ in range(4)]
+    best_dt = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, stats = train_step(state, batches[i % 4], key)
+        float(stats["loss"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    rps = n_steps * n_rays / best_dt
+    # The mip step costs ~2x96 samples at the same MLP budget: same
+    # 25k rays/s reference class per ray.
+    return {
+        "metric": "train_rays_per_sec_mip_96x2",
+        "value": round(rps, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rps / REFERENCE_RAYS_PER_SEC, 3),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "render", "mip", "all"],
+                   default="train")
+    args = p.parse_args()
+    fns = {"train": bench_train, "render": bench_render, "mip": bench_mip}
+    if args.mode == "all":
+        for name, fn in fns.items():
+            print(json.dumps(fn()))
+    else:
+        print(json.dumps(fns[args.mode]()))
 
 
 if __name__ == "__main__":

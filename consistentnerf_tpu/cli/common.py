@@ -43,6 +43,14 @@ def resolve_config(args) -> Config:
         cfg = parse_overrides(cfg, args.overrides)
     else:
         cfg = load_config(args.config, args.overrides)
+    # Multi-host runs must initialize the distributed runtime before the
+    # first backend use; every CLI resolves its config first, so this is
+    # the common chokepoint.
+    from consistentnerf_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.maybe_initialize_distributed(
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id
+    )
     return cfg
 
 

@@ -17,6 +17,13 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--eval-after", action="store_true",
                    help="run test-set eval when training finishes")
+    p.add_argument(
+        "--bootstrap-priors", type=int, default=0, metavar="WARMUP_STEPS",
+        help="two-stage flow: warmup NeRF (no consistency terms) for N "
+        "steps, render per-view depth priors, regenerate hard masks, "
+        "then run the consistent training on those priors (replaces the "
+        "reference's external MVSNeRF prior producer)",
+    )
     args = p.parse_args(argv)
     cfg = common.resolve_config(args)
     exp_dir = common.setup_experiment_dir(cfg)
@@ -25,6 +32,14 @@ def main(argv=None):
     from consistentnerf_tpu.train import loop as loop_lib
 
     scene = load_scene(cfg)
+
+    if args.bootstrap_priors > 0:
+        from consistentnerf_tpu.train.bootstrap import bootstrap_scene_priors
+
+        scene, _ = bootstrap_scene_priors(
+            cfg, scene, args.bootstrap_priors,
+            export_dir=os.path.join(exp_dir, "bootstrap_priors"),
+        )
 
     random_poses = None
     if cfg.backbone == "mipnerf" and cfg.load_random_rays:

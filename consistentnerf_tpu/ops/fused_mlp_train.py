@@ -112,6 +112,11 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
         return jnp.dot(gv.astype(cd), w.T,
                        preferred_element_type=jnp.float32)
 
+    def relu_mask(act):
+        # Mosaic has no bf16 vector compare on this target ("Target does
+        # not support this comparison") — compare in fp32.
+        return act.astype(jnp.float32) > 0
+
     g_rgb = g[:, :3]
     g_alpha = g[:, 3:4]
 
@@ -119,7 +124,7 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
     grads[wi + 6] = dot_t(hv, g_rgb)
     grads[wi + 7] = jnp.sum(g_rgb, axis=0, keepdims=True)
     # views layer
-    g_hv = dot_wt(g_rgb, rgb_w) * (hv > 0)
+    g_hv = dot_wt(g_rgb, rgb_w) * relu_mask(hv)
     grads[wi + 4] = dot_t(hv_in, g_hv)
     grads[wi + 5] = jnp.sum(g_hv, axis=0, keepdims=True)
     g_hv_in = dot_wt(g_hv, v_w)
@@ -139,7 +144,7 @@ def _backward_tile(g, pts, views, weights, *, net_depth, skips, multires,
             g_act = g_h[:, P:]
         else:
             g_act = g_h
-        g_pre = g_act * (acts[i] > 0)
+        g_pre = g_act * relu_mask(acts[i])
         grads[2 * i] = dot_t(layer_inputs[i], g_pre)
         grads[2 * i + 1] = jnp.sum(g_pre, axis=0, keepdims=True)
         if i > 0:
@@ -182,7 +187,12 @@ def _cast_ws(weights, compute_dtype):
 
 
 def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
-                multires_views, tile, interpret, compute_dtype):
+                multires_views, tile, interpret, compute_dtype,
+                out_lanes: int = 4):
+    """out_lanes: lane width of the output buffer. 4 is the logical width
+    (rgb+sigma) but forces a narrow, relayout-heavy VMEM->HBM write every
+    grid step; 128 pads the write to a full register lane (sliced off
+    outside) — measured much faster on v5e."""
     interpret = fm.auto_interpret(interpret)
     weights = _cast_ws(weights, compute_dtype)
     n = pts.shape[0]
@@ -198,6 +208,11 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
             skips=tuple(skips), multires=multires,
             multires_views=multires_views, compute_dtype=compute_dtype,
         )
+        if out_lanes > 4:
+            out = jnp.concatenate(
+                [out, jnp.zeros((out.shape[0], out_lanes - 4), out.dtype)],
+                axis=-1,
+            )
         out_ref[:] = out
 
     def whole(w):
@@ -213,12 +228,13 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
             pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [whole(w) for w in weights],
-        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, out_lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], out_lanes),
+                                       jnp.float32),
         interpret=interpret,
     )(pts_p, views_p, *weights)
-    return out[:n]
+    return out[:n, :4]
 
 
 def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
@@ -310,3 +326,67 @@ def _vjp_bwd(net_depth, skips, multires, multires_views, tile, interpret,
 
 
 fused_mlp_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
+)
+def hybrid_mlp_train(
+    weights: Sequence[jnp.ndarray],
+    pts: jnp.ndarray,
+    views: jnp.ndarray,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = TRAIN_TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """XLA forward + Pallas backward.
+
+    Measured on v5e: XLA's forward (one huge-M matmul per layer) runs at
+    near-peak MXU rate, while its backward pays ~10x the forward in HBM
+    activation traffic; the Pallas backward recomputes activations in
+    VMEM instead. This hybrid keeps the best half of each. Semantics
+    identical to `fused_mlp_train` (weight grads only; positions carry no
+    grad in the NeRF step).
+    """
+    return _fwd_xla(weights, pts, views, net_depth, skips, multires,
+                    multires_views, compute_dtype)
+
+
+def _fwd_xla(weights, pts, views, net_depth, skips, multires,
+             multires_views, compute_dtype):
+    flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
+            for w in fm.cast_weight_list(list(weights), compute_dtype)]
+    return fm._mlp_body(
+        pts, views, flat, net_depth=net_depth, skips=tuple(skips),
+        multires=multires, multires_views=multires_views,
+        use_viewdirs=True, compute_dtype=compute_dtype,
+    )
+
+
+def _hybrid_vjp_fwd(weights, pts, views, net_depth, skips, multires,
+                    multires_views, tile, interpret, compute_dtype):
+    out = _fwd_xla(weights, pts, views, net_depth, skips, multires,
+                   multires_views, compute_dtype)
+    return out, (weights, pts, views)
+
+
+def _hybrid_vjp_bwd(net_depth, skips, multires, multires_views, tile,
+                    interpret, compute_dtype, residuals, g):
+    weights, pts, views = residuals
+    d_weights = _bwd_pallas(
+        weights, pts, views, g, net_depth, skips, multires, multires_views,
+        tile, interpret, compute_dtype,
+    )
+    return (
+        tuple(d_weights),
+        jnp.zeros_like(pts),
+        jnp.zeros_like(views),
+    )
+
+
+hybrid_mlp_train.defvjp(_hybrid_vjp_fwd, _hybrid_vjp_bwd)

@@ -1,0 +1,535 @@
+"""Aligned fused MLP kernels: PE-as-matmul, no in-kernel concats.
+
+Why v2: hardware probes (tools/ab_bench.py) showed Mosaic runs the trunk's
+chained [tile,256]x[256,256] bf16 matmuls at the same ~85 TFLOPS as XLA,
+but the v1 kernel measured ~11 TFLOPS end-to-end. The deficit is the
+positional encoding: the torch-style PE builds 21 three-lane strips and
+concatenates them (fused_mlp._posenc), and every skip/viewdir concat is
+lane-misaligned (63/319/283) — each one a Mosaic relayout. A single sin
+pass over the same volume costs almost nothing (~1.5 ms / 67M elements),
+so the trig was never the problem: the LAYOUT was.
+
+v2 restructures the computation so every tensor the kernel touches is
+lane-aligned and no concat exists:
+
+* PE becomes a matmul: p = x @ F with F [3, 128] holding 2^k at column
+  (3k + j); then s = sin(p), c = cos(p) on aligned [tile, 128] registers.
+  Padding columns of p are 0, so s-padding is 0 and c-padding (cos(0)=1)
+  is cancelled by zero rows in the weight blocks.
+* The first layer and every post-skip layer consume SPLIT weight blocks:
+  h = relu(h_prev @ Wh + x @ Wx + s @ Ws + c @ Wc + b) — the skip concat
+  becomes a sum of aligned matmuls.
+* The viewdir branch gets the same treatment (Fv [3, 128], deg_view
+  frequencies).
+
+Weight blocks are gathered from the torch-layout `flatten_params` list
+outside the kernel (row permutations, jit-once), and gradient blocks are
+scattered back to the torch layout, so the public contract is identical
+to `ops.fused_mlp_train.fused_mlp_train`: flat torch-layout weights in,
+[N, 4] out, weight grads only (positions carry no grad in the NeRF step,
+run_nerf_view.py:527).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from consistentnerf_tpu.ops import fused_mlp as fm
+
+PE_W = 128  # aligned width of the sin/cos register blocks (pts + views)
+TILE = 512
+
+
+# ---------------------------------------------------------------------------
+# Torch-layout <-> aligned-block row maps
+# ---------------------------------------------------------------------------
+
+
+def _pe_row_maps(num_freqs):
+    """Row indices of the torch Embedder layout [x, sin_k, cos_k, ...].
+
+    Returns (rows_x, rows_sin, rows_cos): rows_sin[3k + j] is the torch
+    row of sin(x_j * 2^k), matching p's column order.
+    """
+    rows_x = [0, 1, 2]
+    rows_sin, rows_cos = [], []
+    for k in range(num_freqs):
+        for j in range(3):
+            rows_sin.append(3 + 6 * k + j)
+            rows_cos.append(6 + 6 * k + j)
+    return rows_x, rows_sin, rows_cos
+
+
+def _freq_matrix(num_freqs):
+    """F [3, PE_W]: p[:, 3k+j] = x_j * 2^k; remaining columns zero."""
+    f = np.zeros((3, PE_W), np.float32)
+    for k in range(num_freqs):
+        for j in range(3):
+            f[j, 3 * k + j] = 2.0**k
+    return jnp.asarray(f)
+
+
+def _pe_layers(net_depth, skips):
+    """Trunk layers that consume the PE: layer 0 + every post-skip."""
+    return {0} | {s + 1 for s in skips if s + 1 < net_depth}
+
+
+def _split_pe_weight(w, num_freqs, cd, with_trunk):
+    """Split a torch-layout weight [P(+W), out] into aligned blocks.
+
+    Rows 0..3*(1+2F)-1 are the PE part; remaining rows (if with_trunk)
+    are the previous activation's part. Returns (wh|None, wx, ws, wc).
+    """
+    rows_x, rows_sin, rows_cos = _pe_row_maps(num_freqs)
+    pe_rows = 3 * (1 + 2 * num_freqs)
+    out = w.shape[-1]
+    wx = w[jnp.asarray(rows_x)].astype(cd)
+    ws = jnp.zeros((PE_W, out), cd).at[: len(rows_sin)].set(
+        w[jnp.asarray(rows_sin)].astype(cd)
+    )
+    wc = jnp.zeros((PE_W, out), cd).at[: len(rows_cos)].set(
+        w[jnp.asarray(rows_cos)].astype(cd)
+    )
+    wh = w[pe_rows:].astype(cd) if with_trunk else None
+    return wh, wx, ws, wc
+
+
+def _merge_pe_grad(dwh, dwx, dws, dwc, num_freqs, shape):
+    """Scatter aligned grad blocks back into the torch row layout."""
+    rows_x, rows_sin, rows_cos = _pe_row_maps(num_freqs)
+    pe_rows = 3 * (1 + 2 * num_freqs)
+    dw = jnp.zeros(shape, jnp.float32)
+    dw = dw.at[jnp.asarray(rows_x)].set(dwx)
+    dw = dw.at[jnp.asarray(rows_sin)].set(dws[: len(rows_sin)])
+    dw = dw.at[jnp.asarray(rows_cos)].set(dwc[: len(rows_cos)])
+    if dwh is not None:
+        dw = dw.at[pe_rows:].set(dwh)
+    return dw
+
+
+def prepare_aligned(weights, net_depth, skips, multires, multires_views,
+                    compute_dtype):
+    """Torch-layout flat weight list -> aligned kernel operand list.
+
+    Operand order (static, mirrored by the kernels):
+      F, Fv,
+      per trunk layer i: [Wh_i]? [Wx_i, Ws_i, Wc_i]? b_i
+      Wa, ba, Wf, bf, Wv_f, Wv_x, Wv_s, Wv_c, bv, Wr, br
+    Biases stay fp32 [1, C].
+    """
+    cd = compute_dtype
+    pe_layers = _pe_layers(net_depth, skips)
+    ops = [_freq_matrix(multires), _freq_matrix(multires_views)]
+    wi = 0
+    for i in range(net_depth):
+        w, b = weights[wi], weights[wi + 1]
+        wi += 2
+        if i in pe_layers:
+            wh, wx, ws, wc = _split_pe_weight(
+                w, multires, cd, with_trunk=(i != 0)
+            )
+            if wh is not None:
+                ops.append(wh)
+            ops += [wx, ws, wc]
+        else:
+            ops.append(w.astype(cd))
+        ops.append(b.astype(jnp.float32))
+    alpha_w, alpha_b = weights[wi], weights[wi + 1]
+    feat_w, feat_b = weights[wi + 2], weights[wi + 3]
+    v_w, v_b = weights[wi + 4], weights[wi + 5]
+    rgb_w, rgb_b = weights[wi + 6], weights[wi + 7]
+    ops += [alpha_w.astype(cd), alpha_b.astype(jnp.float32),
+            feat_w.astype(cd), feat_b.astype(jnp.float32)]
+    # views_0 rows: [feat (W), v (3), sin/cos PE (6*deg)]
+    feat_dim = feat_w.shape[-1]
+    vh = v_w[:feat_dim].astype(cd)
+    _, vx, vs, vc = _split_pe_weight(
+        v_w[feat_dim:], multires_views, cd, with_trunk=False
+    )
+    ops += [vh, vx, vs, vc, v_b.astype(jnp.float32),
+            rgb_w.astype(cd), rgb_b.astype(jnp.float32)]
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, cd):
+    """a [T, M] @ b [T, N] contracted over T -> [M, N] fp32."""
+    return jax.lax.dot_general(
+        a, b.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype):
+    """Forward on aligned operands. Returns (out, residuals)."""
+    cd = compute_dtype
+    it = iter(ops)
+    F = next(it)
+    Fv = next(it)
+    pe_layers = _pe_layers(net_depth, skips)
+
+    x32 = pts.astype(jnp.float32)
+    p = _dot(x32, F)
+    s = jnp.sin(p).astype(cd)
+    c = jnp.cos(p).astype(cd)
+    x = pts.astype(cd)
+
+    acts = []
+    h = None
+    for i in range(net_depth):
+        pre = 0.0
+        if i in pe_layers:
+            if i != 0:
+                wh = next(it)
+                pre = _dot(h, wh)
+            wx, ws, wc = next(it), next(it), next(it)
+            pre = pre + _dot(x, wx) + _dot(s, ws) + _dot(c, wc)
+        else:
+            wh = next(it)
+            pre = _dot(h, wh)
+        b = next(it)
+        h = jnp.maximum(pre + b, 0.0).astype(cd)
+        acts.append(h)
+
+    wa, ba = next(it), next(it)
+    wf, bf = next(it), next(it)
+    alpha = _dot(h, wa) + ba
+    feat = (_dot(h, wf) + bf).astype(cd)
+
+    v32 = views.astype(jnp.float32)
+    pv = _dot(v32, Fv)
+    sv = jnp.sin(pv).astype(cd)
+    cv = jnp.cos(pv).astype(cd)
+    v = views.astype(cd)
+
+    wvh, wvx, wvs, wvc, bv = (next(it), next(it), next(it), next(it),
+                              next(it))
+    hv = jnp.maximum(
+        _dot(feat, wvh) + _dot(v, wvx) + _dot(sv, wvs) + _dot(cv, wvc)
+        + bv,
+        0.0,
+    ).astype(cd)
+    wr, br = next(it), next(it)
+    rgb = _dot(hv, wr) + br
+    out = jnp.concatenate([rgb, alpha], axis=-1)
+    res = dict(x=x, s=s, c=c, v=v, sv=sv, cv=cv, acts=acts, feat=feat,
+               hv=hv)
+    return out, res
+
+
+def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
+                      compute_dtype):
+    """Recompute forward, return grads for the ALIGNED operand list
+    (None for F/Fv which are constants)."""
+    cd = compute_dtype
+    out, r = _aligned_forward(
+        pts, views, ops, net_depth=net_depth, skips=skips,
+        compute_dtype=cd,
+    )
+    pe_layers = _pe_layers(net_depth, skips)
+
+    # Walk the operand list once more to index weights per layer.
+    it = iter(range(len(ops)))
+    idx_F, idx_Fv = next(it), next(it)
+    layer_idx = []
+    for i in range(net_depth):
+        d = {}
+        if i in pe_layers:
+            if i != 0:
+                d["wh"] = next(it)
+            d["wx"], d["ws"], d["wc"] = next(it), next(it), next(it)
+        else:
+            d["wh"] = next(it)
+        d["b"] = next(it)
+        layer_idx.append(d)
+    idx_wa, idx_ba = next(it), next(it)
+    idx_wf, idx_bf = next(it), next(it)
+    idx_wvh, idx_wvx, idx_wvs, idx_wvc, idx_bv = (
+        next(it), next(it), next(it), next(it), next(it))
+    idx_wr, idx_br = next(it), next(it)
+
+    grads = [None] * len(ops)
+
+    def relu_mask(a):
+        return a.astype(jnp.float32) > 0
+
+    g_rgb = g[:, :3]
+    g_alpha = g[:, 3:4]
+
+    grads[idx_wr] = _dot_t(r["hv"], g_rgb, cd)
+    grads[idx_br] = jnp.sum(g_rgb, axis=0, keepdims=True)
+    g_hv = _dot(g_rgb.astype(cd), ops[idx_wr].T) * relu_mask(r["hv"])
+    g_hv_c = g_hv.astype(cd)
+    grads[idx_wvh] = _dot_t(r["feat"], g_hv, cd)
+    grads[idx_wvx] = _dot_t(r["v"], g_hv, cd)
+    grads[idx_wvs] = _dot_t(r["sv"], g_hv, cd)
+    grads[idx_wvc] = _dot_t(r["cv"], g_hv, cd)
+    grads[idx_bv] = jnp.sum(g_hv, axis=0, keepdims=True)
+
+    g_feat = _dot(g_hv_c, ops[idx_wvh].T)
+    h_last = r["acts"][-1]
+    grads[idx_wf] = _dot_t(h_last, g_feat, cd)
+    grads[idx_bf] = jnp.sum(g_feat, axis=0, keepdims=True)
+    grads[idx_wa] = _dot_t(h_last, g_alpha, cd)
+    grads[idx_ba] = jnp.sum(g_alpha, axis=0, keepdims=True)
+
+    g_h = (_dot(g_feat.astype(cd), ops[idx_wf].T)
+           + _dot(g_alpha.astype(cd), ops[idx_wa].T))
+    for i in reversed(range(net_depth)):
+        d = layer_idx[i]
+        g_pre = g_h * relu_mask(r["acts"][i])
+        g_pre_c = g_pre.astype(cd)
+        h_prev = r["acts"][i - 1] if i > 0 else None
+        if "wh" in d:
+            grads[d["wh"]] = _dot_t(h_prev, g_pre, cd)
+        if "wx" in d:
+            grads[d["wx"]] = _dot_t(r["x"], g_pre, cd)
+            grads[d["ws"]] = _dot_t(r["s"], g_pre, cd)
+            grads[d["wc"]] = _dot_t(r["c"], g_pre, cd)
+        grads[d["b"]] = jnp.sum(g_pre, axis=0, keepdims=True)
+        if i > 0:
+            if "wh" in d:
+                g_h = _dot(g_pre_c, ops[d["wh"]].T)
+            else:
+                g_h = jnp.zeros_like(g_h)  # unreachable for valid skips
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def _whole(w):
+    return pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                multires_views, tile, interpret, compute_dtype):
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_aligned(weights, net_depth, skips, multires,
+                          multires_views, compute_dtype)
+    n = pts.shape[0]
+    n_pad = -(-n // tile) * tile
+    pts_p = _pad_rows(pts, n_pad)
+    views_p = _pad_rows(views, n_pad)
+    grid = (n_pad // tile,)
+
+    def kernel(pts_ref, views_ref, *refs):
+        *op_refs, out_ref = refs
+        vals = [r[:] for r in op_refs]
+        out, _ = _aligned_forward(
+            pts_ref[:], views_ref[:], vals, net_depth=net_depth,
+            skips=tuple(skips), compute_dtype=compute_dtype,
+        )
+        out_ref[:] = out
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_whole(w) for w in ops],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+    )(pts_p, views_p, *ops)
+    return out[:n]
+
+
+def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
+                multires_views, tile, interpret, compute_dtype):
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_aligned(weights, net_depth, skips, multires,
+                          multires_views, compute_dtype)
+    n = pts.shape[0]
+    n_pad = -(-n // tile) * tile
+    pts_p = _pad_rows(pts, n_pad)
+    views_p = _pad_rows(views, n_pad)
+    g_p = _pad_rows(g, n_pad)
+    grid = (n_pad // tile,)
+
+    # Grad slots: every aligned op except F/Fv (constants). Keep the op
+    # list positions; emit zeros-shaped outputs only for trainable slots.
+    trainable = list(range(2, len(ops)))
+
+    def kernel(pts_ref, views_ref, g_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_refs = refs[len(ops): len(ops) + len(trainable)]
+        acc_refs = refs[len(ops) + len(trainable):]
+        vals = [r[:] for r in op_refs]
+        tile_grads = _aligned_backward(
+            g_ref[:], pts_ref[:], views_ref[:], vals,
+            net_depth=net_depth, skips=tuple(skips),
+            compute_dtype=compute_dtype,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, o_ref) in enumerate(zip(acc_refs, out_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, o_ref=o_ref):
+                o_ref[:] = a_ref[:]
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_whole(w) for w in ops],
+        out_specs=tuple(_whole(ops[t]) for t in trainable),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        interpret=interpret,
+    )(pts_p, views_p, g_p, *ops)
+
+    # Scatter the aligned grads back into the torch weight layout.
+    aligned_grads = [None, None] + list(grads)
+    return _recombine_grads(aligned_grads, weights, net_depth, skips,
+                            multires, multires_views)
+
+
+def _recombine_grads(ag, weights, net_depth, skips, multires,
+                     multires_views):
+    """Aligned grad list (op positions) -> torch-layout grad list."""
+    pe_layers = _pe_layers(net_depth, skips)
+    it = iter(range(len(ag)))
+    next(it), next(it)  # F, Fv
+    out = []
+    wi = 0
+    for i in range(net_depth):
+        w = weights[wi]
+        if i in pe_layers:
+            dwh = ag[next(it)] if i != 0 else None
+            dwx, dws, dwc = ag[next(it)], ag[next(it)], ag[next(it)]
+            out.append(_merge_pe_grad(dwh, dwx, dws, dwc, multires,
+                                      w.shape))
+        else:
+            out.append(ag[next(it)])
+        out.append(ag[next(it)])  # bias
+        wi += 2
+    out.append(ag[next(it)])  # wa
+    out.append(ag[next(it)])  # ba
+    out.append(ag[next(it)])  # wf
+    out.append(ag[next(it)])  # bf
+    dvh = ag[next(it)]
+    dvx, dvs, dvc = ag[next(it)], ag[next(it)], ag[next(it)]
+    v_w = weights[wi + 4]
+    feat_dim = weights[wi + 2].shape[-1]
+    dv = jnp.zeros(v_w.shape, jnp.float32)
+    dv = dv.at[:feat_dim].set(dvh)
+    dv = dv.at[feat_dim:].set(
+        _merge_pe_grad(None, dvx, dvs, dvc, multires_views,
+                       (v_w.shape[0] - feat_dim, v_w.shape[1]))
+    )
+    out.append(dv)
+    out.append(ag[next(it)])  # bv
+    out.append(ag[next(it)])  # wr
+    out.append(ag[next(it)])  # br
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public custom-VJP op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9),
+)
+def fused_mlp_v2_train(
+    weights: Sequence[jnp.ndarray],
+    pts: jnp.ndarray,
+    views: jnp.ndarray,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Differentiable aligned fused MLP; same contract as fused_mlp_train
+    (torch-layout flat weights, biases [1, C] fp32, returns [N, 4])."""
+    return _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                       multires_views, tile, interpret, compute_dtype)
+
+
+def _vjp_fwd(weights, pts, views, net_depth, skips, multires,
+             multires_views, tile, interpret, compute_dtype):
+    out = _fwd_pallas(weights, pts, views, net_depth, skips, multires,
+                      multires_views, tile, interpret, compute_dtype)
+    return out, (weights, pts, views)
+
+
+def _vjp_bwd(net_depth, skips, multires, multires_views, tile, interpret,
+             compute_dtype, residuals, g):
+    weights, pts, views = residuals
+    d_weights = _bwd_pallas(
+        weights, pts, views, g, net_depth, skips, multires, multires_views,
+        tile, interpret, compute_dtype,
+    )
+    return tuple(d_weights), jnp.zeros_like(pts), jnp.zeros_like(views)
+
+
+fused_mlp_v2_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_mlp_v2(params, pts, viewdirs, *, net_depth=8, skips=(4,),
+                 multires=10, multires_views=4, tile=TILE,
+                 interpret=None, compute_dtype=jnp.float32):
+    """Forward-only aligned kernel from a NeRFMLP param tree (render/eval
+    fast path; drop-in for ops.fused_mlp.fused_mlp)."""
+    weights = [jnp.asarray(w) for w in
+               fm.flatten_params(params, True, net_depth)]
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    return _fwd_pallas(weights, pts, viewdirs, net_depth, tuple(skips),
+                       multires, multires_views, tile, interpret,
+                       compute_dtype)

@@ -27,7 +27,7 @@ from consistentnerf_tpu.ops import fused_mlp as fm
     static_argnames=(
         "num_samples", "num_importance", "multires", "multires_views",
         "net_depth", "white_bkgd", "lindisp", "tile", "interpret",
-        "compute_dtype",
+        "compute_dtype", "kernel",
     ),
 )
 def fused_render_rays(
@@ -44,6 +44,7 @@ def fused_render_rays(
     tile: int = fm.DEFAULT_TILE,
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
+    kernel: str = "v2",
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic render of a flat Rays batch via the fused kernel."""
     p = params["params"] if "params" in params else params
@@ -55,8 +56,14 @@ def fused_render_rays(
     viewdirs = rays.viewdirs
     n = origins.shape[0]
 
+    if kernel == "v2":
+        from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2
+
+        base = fused_mlp_v2
+    else:
+        base = fm.fused_mlp
     kern = functools.partial(
-        fm.fused_mlp,
+        base,
         net_depth=net_depth,
         multires=multires,
         multires_views=multires_views,

@@ -43,8 +43,19 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         splits = jax.random.split(rng, len(names))
         keys = dict(zip(names, splits))
 
+    kind = getattr(cfg, "fused_kernel", "v2")
+    if kind == "v2":
+        from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2_train
+
+        base = fused_mlp_v2_train
+    elif kind == "hybrid":
+        from consistentnerf_tpu.ops.fused_mlp_train import hybrid_mlp_train
+
+        base = hybrid_mlp_train
+    else:
+        base = fused_mlp_train
     kern = functools.partial(
-        fused_mlp_train,
+        base,
         net_depth=cfg.netdepth,
         skips=(4,),
         multires=cfg.multires,

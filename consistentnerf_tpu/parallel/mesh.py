@@ -26,9 +26,22 @@ def maybe_initialize_distributed(
 
     No-op in single-process mode. The reference relied on host-id offsets
     and per-host batch slicing (`train.py:302,358-364`); with the jax
-    distributed runtime, global arrays own that bookkeeping.
+    distributed runtime, global arrays own that bookkeeping. Must run
+    before first backend use (cli/common.resolve_config calls it from
+    every entry point when the config carries multi-process fields).
     """
     if num_processes is not None and num_processes > 1:
+        import os
+
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            # Multi-process CPU runs (tests / local rehearsal) need the
+            # gloo cross-process collective backend.
+            try:
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -65,15 +78,28 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     Leaves whose leading dim doesn't divide the mesh axis (scalar bounds,
     replicated reference-view images, poses) are replicated instead — in
     global-view jit this is a layout choice only, never a semantics one.
+
+    Multi-host: every process generates the same (seeded) GLOBAL batch
+    host-side, and each process materializes only the shards of its
+    addressable devices via `jax.make_array_from_callback` — the
+    TPU-native equivalent of the reference's per-host batch slicing
+    (`RegNeRF/internal/datasets.py:487-488`). `local_batch_slice` gives
+    the per-process ray count for pipelines sizing host memory.
     """
     sharded = batch_sharding(mesh, axis)
     replicated = replicated_sharding(mesh)
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis]))
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "shape") else x
         ok = x.ndim >= 1 and x.shape[0] % max(n, 1) == 0 and x.shape[0] > 0
-        return jax.device_put(x, sharded if ok else replicated)
+        sh = sharded if ok else replicated
+        if multiprocess:
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx, _x=x: _x[idx]
+            )
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
 

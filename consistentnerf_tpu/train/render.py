@@ -80,6 +80,7 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
                     lindisp=cfg.lindisp,
                     tile=cfg.fused_tile,
                     compute_dtype=jnp.dtype(cfg.compute_dtype).type,
+                    kernel=cfg.fused_kernel,
                 )
                 return {
                     "rgb": out["rgb"],

@@ -208,3 +208,26 @@ def test_bf16_gradients_close_to_fp32():
         assert a.dtype == np.float32, f"grad {i} dtype {a.dtype}"
         denom = np.abs(b).max() + 1e-6
         assert np.abs(a - b).max() / denom < 0.1, f"weight {i}"
+
+
+def test_hybrid_gradients_match_jax_grad():
+    """hybrid (XLA fwd + Pallas bwd) grads == jax.grad of the oracle."""
+    params, weights, pts, views, cfg = _setup(net_depth=4, skips=(2,), n=64)
+
+    def loss_hybrid(ws):
+        out = fmt.hybrid_mlp_train(
+            ws, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_oracle(ws):
+        return jnp.sum(jnp.sin(_oracle_fn(ws, pts, views, cfg)))
+
+    g_h = jax.grad(loss_hybrid)(weights)
+    g_o = jax.grad(loss_oracle)(weights)
+    for i, (a, b) in enumerate(zip(g_h, g_o)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=f"weight {i}",
+        )

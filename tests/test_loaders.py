@@ -201,3 +201,68 @@ def test_load_scene_dispatch_synthetic():
     cfg = Config(dataset_type="synthetic")
     scene = load_scene(cfg, attach=False)
     assert scene.images.ndim == 4
+
+
+def _write_llff_orbit_fixture(root, n=16, h=32, w=40):
+    """An LLFF scene whose cameras orbit the origin looking inward —
+    the 360-capture regime spherify targets."""
+    import imageio.v2 as imageio
+
+    scene_dir = root / "orbit"
+    (scene_dir / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    poses_bounds = np.zeros((n, 17))
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(scene_dir / "images" / f"img_{i:03d}.png"), img)
+        th = 2 * np.pi * i / n
+        pos = np.array([3 * np.cos(th), 3 * np.sin(th), 0.6])
+        back = pos / np.linalg.norm(pos)  # -z looks at the origin
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(up, back)
+        right /= np.linalg.norm(right)
+        up_c = np.cross(back, right)
+        # OpenGL cols [right, up, back] -> LLFF order [down, right, back]
+        llff_R = np.stack([-up_c, right, back], 1)
+        pose = np.concatenate(
+            [llff_R, pos[:, None], np.array([[h], [w], [50.0]])], 1
+        )
+        poses_bounds[i, :15] = pose.reshape(-1)
+        poses_bounds[i, 15:] = [1.5, 6.0]
+    np.save(str(scene_dir / "poses_bounds.npy"), poses_bounds)
+    return scene_dir
+
+
+def test_llff_loader_spherify_360(tmp_path):
+    """spherify=True on an orbit capture: cameras land on a unit-radius
+    shell around the origin and the circular render path is produced
+    (load_llff.py:223-279 semantics, validated against the reference in
+    test_reference_oracle.py::test_spherify_poses_matches_reference)."""
+    from consistentnerf_tpu.core import rays as rays_core
+    from consistentnerf_tpu.data.llff import load_llff
+
+    scene_dir = _write_llff_orbit_fixture(tmp_path)
+    pairs = str(tmp_path / "pairs.npz")
+    np.savez(pairs, orbit_train=np.arange(0, 16, 2),
+             orbit_val=np.arange(1, 16, 4))
+    scene = load_llff(str(scene_dir), factor=1, spherify=True, no_ndc=True,
+                      train_view_num=4, pairs_path=pairs)
+    assert not scene.use_ndc
+    # Spherified poses: unit RMS radius about the scene center.
+    r = np.linalg.norm(scene.poses[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(np.sqrt((r**2).mean()), 1.0, atol=1e-5)
+    # Circular render path present and well-formed rotations.
+    assert scene.render_poses.shape[0] == 120
+    R = scene.render_poses[:, :3, :3]
+    eye = np.eye(3)[None]
+    np.testing.assert_allclose(
+        R @ np.transpose(R, [0, 2, 1]), np.tile(eye, (120, 1, 1)),
+        atol=1e-5,
+    )
+    # near/far cover the rescaled camera shell; rays are finite.
+    assert 0 < scene.near < scene.far
+    ro, rd = rays_core.get_rays(
+        scene.H, scene.W, scene.K, scene.render_poses[0][:3, :4]
+    )
+    assert np.isfinite(np.asarray(ro)).all()
+    assert np.isfinite(np.asarray(rd)).all()

@@ -58,15 +58,32 @@ def build_variant(name, scene, batch):
 
     if name == "xla":
         cfg = flagship_cfg()
+    elif name == "xla_remat":
+        cfg = flagship_cfg(remat_mlp=True)
     elif name == "fused_fp32":
         cfg = flagship_cfg(use_fused_train=True, compute_dtype="float32",
                            fused_tile=256)
     elif name == "fused_bf16":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=256)
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=256,
+                           fused_kernel="v1")
     elif name == "fused_bf16_t512":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=512)
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
+                           fused_kernel="v1")
     elif name == "fused_bf16_t1024":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=1024)
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
+                           fused_kernel="v1")
+    elif name == "v2_bf16_t512":
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
+                           fused_kernel="v2")
+    elif name == "v2_bf16_t1024":
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
+                           fused_kernel="v2")
+    elif name == "v2_bf16_t2048":
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=2048,
+                           fused_kernel="v2")
+    elif name == "hybrid_bf16_t512":
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
+                           fused_kernel="hybrid")
     else:
         raise ValueError(name)
 
@@ -84,10 +101,13 @@ def build_variant(name, scene, batch):
 
 
 def check_forward(name, cfg, model, state, batch):
-    """Max |rgb err| of this variant's forward vs the XLA forward.
+    """Max |rgb err| of this variant's COARSE forward vs the XLA forward.
 
     Detects the Mosaic bf16 miscompile class (err ~1.0 on HW while
-    interpret mode is fine)."""
+    interpret mode is fine). Only the coarse level is compared: the fine
+    level resamples z from the coarse weights, and on a random-init model
+    tiny bf16 accumulation-order differences move the resampled bin
+    choices, so fine-level pointwise diffs are large without any bug."""
     import numpy as np
 
     from consistentnerf_tpu.train import step as step_lib
@@ -101,10 +121,12 @@ def check_forward(name, cfg, model, state, batch):
                                     tile=cfg.fused_tile)
     else:
         out = out_ref
-    err = float(np.abs(np.asarray(out["rgb"])
-                       - np.asarray(out_ref["rgb"])).max())
-    derr = float(np.abs(np.asarray(out["depth"])
-                        - np.asarray(out_ref["depth"])).max())
+    k_rgb = "rgb0" if "rgb0" in out else "rgb"
+    k_d = "depth0" if "depth0" in out else "depth"
+    err = float(np.abs(np.asarray(out[k_rgb])
+                       - np.asarray(out_ref[k_rgb])).max())
+    derr = float(np.abs(np.asarray(out[k_d])
+                        - np.asarray(out_ref[k_d])).max())
     return err, derr
 
 
@@ -198,17 +220,361 @@ def run_render_variants(names):
     return results
 
 
+def run_kernel_micro(names):
+    """Isolate the MLP fwd/bwd cost: fused Pallas kernel vs the XLA MLP
+    on the flagship fine-level point count (5120 rays x 192 samples)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from consistentnerf_tpu.models.mlp import NeRFMLP
+    from consistentnerf_tpu.ops import fused_mlp as fm
+    from consistentnerf_tpu.ops.fused_mlp_train import fused_mlp_train
+
+    # Coarse-level point count: the full fine-level (983k) XLA grad graph
+    # trips a register-allocation RET_CHECK in this compiler build.
+    n = 5120 * 64
+    mlp = NeRFMLP()
+    pe, ve = 63, 27
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((2, pe)),
+                      jnp.zeros((2, ve)))
+    weights = tuple(
+        w[None, :] if w.ndim == 1 else w
+        for w in (jnp.asarray(x) for x in fm.flatten_params(params, True, 8))
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    views = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+
+    results = {}
+    for name in names:
+        if name == "k_null":
+            # Dispatch-latency calibration: a trivial kernel.
+            def fwd(ws):
+                return ws[0] * 1.0
+
+        elif name.startswith("k_fusedpad"):
+            from consistentnerf_tpu.ops import fused_mlp_train as fmt
+
+            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            tile = 512 if "512" in name else 256
+
+            def fwd(ws, _t=tile, _cd=cd):
+                return fmt._fwd_pallas(ws, pts, views, 8, (4,), 10, 4,
+                                       _t, False, _cd, out_lanes=128)
+
+        elif name.startswith("k_fused"):
+            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            tile = 512 if "512" in name else 256
+
+            def fwd(ws, _t=tile, _cd=cd):
+                return fused_mlp_train(ws, pts, views, 8, (4,), 10, 4,
+                                       _t, False, _cd)
+
+        elif name.startswith("k_xlarm"):
+            # XLA fwd with jax.checkpoint: backward recomputes instead of
+            # saving activations.
+            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+
+            @jax.checkpoint
+            def fwd(ws, _cd=cd):
+                flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
+                        for w in fm.cast_weight_list(list(ws), _cd)]
+                return fm._mlp_body(
+                    pts, views, flat, net_depth=8, skips=(4,), multires=10,
+                    multires_views=4, use_viewdirs=True, compute_dtype=_cd,
+                )
+
+        elif name.startswith("k_xla"):
+            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+
+            def fwd(ws, _cd=cd):
+                flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
+                        for w in fm.cast_weight_list(list(ws), _cd)]
+                return fm._mlp_body(
+                    pts, views, flat, net_depth=8, skips=(4,), multires=10,
+                    multires_views=4, use_viewdirs=True, compute_dtype=_cd,
+                )
+
+        elif name.startswith("k_hybrid"):
+            # XLA forward (huge-M matmuls at near-peak) + the Pallas
+            # VMEM-recompute backward kernel.
+            from consistentnerf_tpu.ops import fused_mlp_train as fmt
+
+            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            tile = 512 if "512" in name else 256
+
+            def fwd(ws, _t=tile, _cd=cd):
+                return fmt.hybrid_mlp_train(ws, pts, views, 8, (4,), 10, 4,
+                                            _t, False, _cd)
+
+        else:
+            raise ValueError(name)
+
+        out = {}
+        timers = []
+
+        def _perturb(ws, s):
+            # Distinct inputs per execute (fused scalar add): identical
+            # re-executes are served from a relay cache (CLAUDE.md).
+            return jax.tree_util.tree_map(lambda w: w + s, tuple(ws))
+
+        try:
+            f = jax.jit(lambda ws, s: fwd(_perturb(ws, s)))
+            float(jnp.sum(f(weights, 0.0)))  # compile
+            timers.append(("fwd_ms", f, lambda r: float(jnp.sum(r[:, 0]))))
+            grad = jax.jit(
+                jax.grad(lambda ws, s: jnp.sum(fwd(_perturb(ws, s)) ** 2))
+            )
+            jax.block_until_ready(grad(weights, 0.0))
+            timers.append(
+                ("fwdbwd_ms", grad, lambda r: float(jnp.sum(r[0])))
+            )
+        except Exception as e:  # compiler bugs / non-differentiable fwd
+            out["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        # Queue REPS executes per sync: per-execute host/relay latency
+        # otherwise dominates (a null jit op measures ~3-5 ms per sync
+        # through the remote relay).
+        REPS = 10
+        for label, fn, sync in timers:
+            best = float("inf")
+            for trial in range(3):
+                t0 = time.perf_counter()
+                r = None
+                for _i in range(REPS):
+                    r = fn(weights, 1e-5 * (trial * REPS + _i + 1))
+                sync(r)
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best * 1e3 / REPS, 2)
+        results[name] = out
+        print(name, json.dumps(out), flush=True)
+    return results
+
+
+def run_matmul_micro():
+    """Raw MXU rates for the shapes the train step lives on (bf16,
+    fp32 accumulation): fwd-style huge-M, bwd dX-style, and the dW
+    reduction (tiny output, huge K) that dominates the backward."""
+    import jax
+    import jax.numpy as jnp
+
+    K = 5120 * 64  # one coarse level's point count
+    cases = {
+        # (a_shape, b_shape, contract): flops = 2*prod
+        "fwd_M327k": ((K, 256), (256, 256), "mn"),
+        "fwd_skip_M327k": ((K, 319), (319, 256), "mn"),
+        "dW_256x256": ((K, 256), (K, 256), "kk"),
+        "dW_319x256": ((K, 319), (K, 256), "kk"),
+        "dW_63x256": ((K, 63), (K, 256), "kk"),
+    }
+    results = {}
+    for name, (sa, sb, mode) in cases.items():
+        # A per-rep scalar perturbation (fused into the operand load by
+        # XLA, so ~free) makes every execute's inputs distinct: the relay
+        # serves identical re-executes from a cache and reports
+        # impossible rates otherwise (see CLAUDE.md).
+        a = jax.random.normal(jax.random.PRNGKey(0), sa, jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(99), sb, jnp.bfloat16)
+        if mode == "mn":
+            f = jax.jit(lambda a, b, s: jnp.dot(
+                a + s, b, preferred_element_type=jnp.float32))
+        else:
+            f = jax.jit(lambda a, b, s: jax.lax.dot_general(
+                a + s, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        flops = 2 * sa[0] * sa[1] * sb[1]
+        jax.block_until_ready(f(a, b, jnp.bfloat16(0)))
+        REPS = 16
+        best = float("inf")
+        for trial in range(3):
+            t0 = time.perf_counter()
+            r = None
+            for i in range(REPS):
+                s = jnp.bfloat16(1e-3 * (trial * REPS + i + 1))
+                r = f(a, b, s)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        results[name] = {
+            "ms": round(best * 1e3, 3),
+            "tflops": round(flops / best / 1e12, 1),
+        }
+        print(name, json.dumps(results[name]), flush=True)
+    return results
+
+
+def run_chain_micro(names):
+    """Mosaic-vs-XLA matmul rate on the trunk's exact pattern: L chained
+    [N,256]x[256,256] bf16 dots (fp32 accum). Big enough (>=0.5 TFLOP)
+    to sit far above the ~3 ms per-execute relay floor."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, C, L = 262144, 256, 16
+    flops = 2 * N * C * C * L
+    ws = [
+        jax.random.normal(jax.random.PRNGKey(i), (C, C), jnp.bfloat16)
+        * 0.05
+        for i in range(L)
+    ]
+    x = jax.random.normal(jax.random.PRNGKey(99), (N, C), jnp.bfloat16)
+
+    results = {}
+    for name in names:
+        if name == "c_xla":
+
+            def fn(x, s):
+                h = x + s
+                for w in ws:
+                    h = jnp.dot(
+                        h, w, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                return h
+
+        elif name == "c_xla_nocast":
+
+            def fn(x, s):
+                h = x + s
+                for w in ws:
+                    h = jnp.dot(h, w)  # bf16 accumulate
+                return h
+
+        elif name.startswith("c_sinx"):
+            # XLA: one sin pass over the input, then the chain.
+            def fn(x, s):
+                h = jnp.sin((x + s).astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
+                for w in ws:
+                    h = jnp.dot(
+                        h, w, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                return h
+
+        elif name == "c_pallas_pe":
+            # The fused kernel's ACTUAL entry: 21-piece posenc concat +
+            # a [tile,63]x[63,256] odd-K dot, then the aligned chain.
+            from consistentnerf_tpu.ops import fused_mlp as fm
+
+            w0 = jax.random.normal(jax.random.PRNGKey(100), (63, C),
+                                   jnp.bfloat16) * 0.05
+            tile = 512
+
+            def kernel(x_ref, w0_ref, *refs):
+                *w_refs, o_ref = refs
+                e = fm._posenc(x_ref[:, :3].astype(jnp.float32), 10)
+                h = jnp.dot(
+                    e.astype(jnp.bfloat16), w0_ref[:],
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                for w_ref in w_refs:
+                    h = jnp.dot(
+                        h, w_ref[:], preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                o_ref[:] = h
+
+            x8 = jax.random.normal(jax.random.PRNGKey(7), (N, 8),
+                                   jnp.bfloat16)
+
+            def fn(x, s, _t=tile):
+                return pl.pallas_call(
+                    kernel,
+                    grid=(N // _t,),
+                    in_specs=[
+                        pl.BlockSpec((_t, 8), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((63, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ] + [
+                        pl.BlockSpec((C, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(L - 1)
+                    ],
+                    out_specs=pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((N, C), jnp.bfloat16),
+                )(x8 + s, w0, *ws[: L - 1])
+
+        elif name.startswith("c_pallas"):
+            tile = int(name.split("_t")[-1]) if "_t" in name else 512
+            with_sin = "sin" in name
+
+            def kernel(x_ref, *refs, _ws=with_sin):
+                *w_refs, o_ref = refs
+                h = x_ref[:]
+                if _ws:
+                    # isolate Mosaic's transcendental cost (the fused MLP
+                    # kernel computes ~120 sin/cos per point for the PE)
+                    h = jnp.sin(h.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                for w_ref in w_refs:
+                    h = jnp.dot(
+                        h, w_ref[:], preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                o_ref[:] = h
+
+            def fn(x, s, _t=tile):
+                return pl.pallas_call(
+                    kernel,
+                    grid=(N // _t,),
+                    in_specs=[
+                        pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                    ] + [
+                        pl.BlockSpec((C, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(L)
+                    ],
+                    out_specs=pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((N, C), jnp.bfloat16),
+                )(x + s, *ws)
+
+        else:
+            raise ValueError(name)
+
+        f = jax.jit(fn)
+        jax.block_until_ready(f(x, jnp.bfloat16(0)))
+        REPS = 10
+        best = float("inf")
+        for trial in range(3):
+            t0 = time.perf_counter()
+            r = None
+            for i in range(REPS):
+                r = f(x, jnp.bfloat16(1e-3 * (trial * REPS + i + 1)))
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        results[name] = {
+            "ms": round(best * 1e3, 2),
+            "tflops": round(flops / best / 1e12, 1),
+        }
+        print(name, json.dumps(results[name]), flush=True)
+    return results
+
+
 def main():
     setup_jax()
     args = sys.argv[1:] or ["xla", "fused_fp32", "fused_bf16",
                             "fused_bf16_t512"]
-    train_names = [a for a in args if not a.startswith("render")]
+    train_names = [a for a in args
+                   if not a.startswith(("render", "k_", "c_"))]
     render_names = [a for a in args if a.startswith("render")]
+    kernel_names = [a for a in args
+                    if a.startswith("k_") and a != "k_matmul"]
     out = {}
     if train_names:
         out.update(run_train_variants(train_names))
     if render_names:
         out.update(run_render_variants(render_names))
+    if kernel_names:
+        out.update(run_kernel_micro(kernel_names))
+    if "k_matmul" in args:
+        out.update(run_matmul_micro())
+    chain_names = [a for a in args if a.startswith("c_")]
+    if chain_names:
+        out.update(run_chain_micro(chain_names))
     print("SUMMARY " + json.dumps(out))
 
 
