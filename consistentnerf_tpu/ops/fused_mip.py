@@ -1,0 +1,509 @@
+"""Aligned fused MipMLP kernels (IPE-as-matmul, no in-kernel concats).
+
+Same design as `ops.fused_mlp_v2` applied to the mip backbone
+(`RegNeRF/internal/models.py:173-280` semantics, via models/mlp.py::MipMLP):
+
+* The IPE becomes two matmuls on aligned registers: p = means @ F and
+  pv = covs_diag @ F2 with F [3, 128] holding 2^k at column 3k+j (and F2
+  holding 4^k), then s = exp(-pv/2)*sin(p), c = exp(-pv/2)*sin(p + pi/2)
+  on [tile, 128] registers (mip.py:160-192 ordering: all sin, then all
+  cos). Range reduction matches mathx.safe_sin (x % 100pi for |x|>=100pi).
+* The first trunk layer consumes split weight blocks Ws/Wc (rows 0:48 /
+  48:96 of Dense_0, zero-padded to 128 rows so the padding columns of
+  s/c hit zero weights); the post-skip layer (input [act, inputs],
+  models.py:112-113 order) splits into Wh/Ws/Wc; the viewdir layer
+  (input [bottleneck, viewdirs_enc], :165) splits into Wvh/Wvx/Wvs/Wvc.
+* Outputs are the RAW heads [N, 4] = [rgb_raw(3), density_raw(1)] —
+  sigmoid/rgb-padding/softplus/density-noise stay outside the kernel
+  (they touch rng and config, and cost nothing in XLA).
+
+The custom-VJP backward recomputes activations inside VMEM (no HBM
+activation round-trip) and accumulates fp32 weight grads in VMEM-resident
+scratch across the sequential grid, exactly like fused_mlp_v2. means/covs
+/views carry no gradient (cone samples are stop-gradient'ed or
+param-independent in both train levels, models/mipnerf.py:82-93), so
+input cotangents are zero.
+
+Normals (`disable_normals=False`) need d(density)/d(means) per point and
+stay on the XLA path; the fused step requires cfg.disable_normals (the
+config default, and normals feed no reference loss — they are eval/vis
+only, RegNeRF/train.py:97-241).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from consistentnerf_tpu.ops import fused_mlp as fm
+
+PE_W = 128
+TILE = 1024
+
+_FWD_VMEM_LIMIT = 64 * 1024 * 1024
+_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+
+_SAFE_T = float(100 * np.pi)
+
+
+def flatten_mip_params(params, net_depth: int = 8) -> list:
+    """MipMLP param tree -> flat [w0, b0, ..., w11, b11] list.
+
+    Accepts the full model tree ({'params': {'MipMLP_0': ...}}) or the
+    MLP-level dict ({'Dense_0': ...}). Layer order (nn.compact creation,
+    models/mlp.py:97-173): Dense_0..Dense_{D-1} trunk, Dense_D density,
+    Dense_{D+1} bottleneck, Dense_{D+2} viewdir, Dense_{D+3} rgb.
+    """
+    p = params.get("params", params)
+    if "MipMLP_0" in p:
+        p = p["MipMLP_0"]
+    out = []
+    for i in range(net_depth + 4):
+        d = p[f"Dense_{i}"]
+        out += [d["kernel"], d["bias"]]
+    return out
+
+
+def _freq_matrix(num_freqs, power):
+    """F [3, PE_W]: p[:, 3k+j] = x_j * power^k; other columns zero."""
+    f = np.zeros((3, PE_W), np.float32)
+    for k in range(num_freqs):
+        for j in range(3):
+            f[j, 3 * k + j] = float(power) ** k
+    return jnp.asarray(f)
+
+
+def _split_rows(w, splits, cd, pad_to=None):
+    """Split a weight's rows at the given boundaries; zero-pad each piece
+    (except the first) to pad_to rows when requested."""
+    pieces = []
+    start = 0
+    for i, end in enumerate(list(splits) + [w.shape[0]]):
+        piece = w[start:end].astype(cd)
+        if pad_to is not None and i > 0 and piece.shape[0] < pad_to:
+            piece = jnp.zeros((pad_to, w.shape[1]), cd).at[
+                : piece.shape[0]
+            ].set(piece)
+        pieces.append(piece)
+        start = end
+    return pieces
+
+
+def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
+                        compute_dtype):
+    """Flat flax-layout weight list -> aligned kernel operand list.
+
+    Operand order (static, mirrored by the kernels):
+      F, F2, Fv,
+      layer 0: Ws, Wc, b
+      layers 1..D-1: Wh [, Ws, Wc if post-skip] b
+      Wd, bd, Wb, bb, Wvh, Wvx, Wvs, Wvc, bv, Wr, br
+    Biases stay fp32 [1, C].
+    """
+    cd = compute_dtype
+    pe_rows = 3 * num_freqs  # rows of the sin block (cos block same)
+    ops = [
+        _freq_matrix(num_freqs, 2.0),
+        _freq_matrix(num_freqs, 4.0),
+        _freq_matrix(deg_view, 2.0),
+    ]
+    wi = 0
+    post_skip = {i for i in range(1, net_depth)
+                 if (i - 1) % skip_layer == 0 and (i - 1) > 0}
+    for i in range(net_depth):
+        w, b = weights[wi], weights[wi + 1]
+        wi += 2
+        if i == 0:
+            ws, wc = _split_rows(w, [0, pe_rows], cd, pad_to=PE_W)[1:]
+            ops += [ws, wc]
+        elif i in post_skip:
+            wh, ws, wc = _split_rows(
+                w, [w.shape[0] - 2 * pe_rows, w.shape[0] - pe_rows], cd,
+                pad_to=PE_W,
+            )
+            ops += [wh, ws, wc]
+        else:
+            ops.append(w.astype(cd))
+        ops.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+    wd, bd = weights[wi], weights[wi + 1]
+    wb, bb = weights[wi + 2], weights[wi + 3]
+    wv, bv = weights[wi + 4], weights[wi + 5]
+    wr, br = weights[wi + 6], weights[wi + 7]
+    width = wb.shape[-1]
+    vh = wv[:width].astype(cd)
+    vx = wv[width: width + 3].astype(cd)
+    vs, vc = _split_rows(
+        wv[width + 3:], [3 * deg_view], cd, pad_to=PE_W
+    )
+    # _split_rows' first piece is unpadded; pad vs too.
+    if vs.shape[0] < PE_W:
+        vs = jnp.zeros((PE_W, wv.shape[1]), cd).at[: vs.shape[0]].set(vs)
+    ops += [
+        wd.astype(cd), jnp.asarray(bd, jnp.float32).reshape(1, -1),
+        wb.astype(cd), jnp.asarray(bb, jnp.float32).reshape(1, -1),
+        vh, vx, vs, vc, jnp.asarray(bv, jnp.float32).reshape(1, -1),
+        wr.astype(cd), jnp.asarray(br, jnp.float32).reshape(1, -1),
+    ]
+    return ops
+
+
+def _safe_sin(x):
+    return jnp.sin(jnp.where(jnp.abs(x) < _SAFE_T, x, x % _SAFE_T))
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, cd):
+    return jax.lax.dot_general(
+        a, b.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _op_index(net_depth, skip_layer):
+    """Static walk of the operand list -> named index maps."""
+    it = iter(range(10**6))
+    idx = dict(F=next(it), F2=next(it), Fv=next(it))
+    post_skip = {i for i in range(1, net_depth)
+                 if (i - 1) % skip_layer == 0 and (i - 1) > 0}
+    layers = []
+    for i in range(net_depth):
+        d = {}
+        if i == 0:
+            d["ws"], d["wc"] = next(it), next(it)
+        elif i in post_skip:
+            d["wh"], d["ws"], d["wc"] = next(it), next(it), next(it)
+        else:
+            d["wh"] = next(it)
+        d["b"] = next(it)
+        layers.append(d)
+    for k in ("wd", "bd", "wb", "bb", "wvh", "wvx", "wvs", "wvc", "bv",
+              "wr", "br"):
+        idx[k] = next(it)
+    return idx, layers, post_skip
+
+
+def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
+                         compute_dtype):
+    """Forward on aligned operands. Returns ([T,4] raw out, residuals)."""
+    cd = compute_dtype
+    idx, layers, _ = _op_index(net_depth, skip_layer)
+    F, F2, Fv = ops[idx["F"]], ops[idx["F2"]], ops[idx["Fv"]]
+
+    m32 = means.astype(jnp.float32)
+    c32 = covs.astype(jnp.float32)
+    p = _dot(m32, F)
+    pv = _dot(c32, F2)
+    damp = jnp.exp(-0.5 * pv)
+    s = (damp * _safe_sin(p)).astype(cd)
+    c = (damp * _safe_sin(p + 0.5 * jnp.pi)).astype(cd)
+
+    acts = []
+    h = None
+    for i, d in enumerate(layers):
+        pre = _dot(s, ops[d["ws"]]) + _dot(c, ops[d["wc"]]) if "ws" in d \
+            else 0.0
+        if "wh" in d:
+            pre = pre + _dot(h, ops[d["wh"]])
+        h = jnp.maximum(pre + ops[d["b"]], 0.0).astype(cd)
+        acts.append(h)
+
+    density = _dot(h, ops[idx["wd"]]) + ops[idx["bd"]]
+    bneck = (_dot(h, ops[idx["wb"]]) + ops[idx["bb"]]).astype(cd)
+
+    v32 = views.astype(jnp.float32)
+    pvv = _dot(v32, Fv)
+    sv = _safe_sin(pvv).astype(cd)
+    cv = _safe_sin(pvv + 0.5 * jnp.pi).astype(cd)
+    v = views.astype(cd)
+    hv = jnp.maximum(
+        _dot(bneck, ops[idx["wvh"]]) + _dot(v, ops[idx["wvx"]])
+        + _dot(sv, ops[idx["wvs"]]) + _dot(cv, ops[idx["wvc"]])
+        + ops[idx["bv"]],
+        0.0,
+    ).astype(cd)
+    rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
+    out = jnp.concatenate([rgb, density], axis=-1)
+    res = dict(s=s, c=c, v=v, sv=sv, cv=cv, acts=acts, bneck=bneck, hv=hv)
+    return out, res
+
+
+def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
+                          skip_layer, compute_dtype):
+    """Recompute forward; return grads for the aligned operand list
+    (None for the F/F2/Fv constants)."""
+    cd = compute_dtype
+    _, r = _mip_aligned_forward(
+        means, covs, views, ops, net_depth=net_depth,
+        skip_layer=skip_layer, compute_dtype=cd,
+    )
+    idx, layers, _ = _op_index(net_depth, skip_layer)
+    grads = [None] * len(ops)
+
+    def relu_mask(a):
+        return a.astype(jnp.float32) > 0
+
+    g_rgb = g[:, :3]
+    g_dens = g[:, 3:4]
+
+    grads[idx["wr"]] = _dot_t(r["hv"], g_rgb, cd)
+    grads[idx["br"]] = jnp.sum(g_rgb, axis=0, keepdims=True)
+    g_hv = _dot(g_rgb.astype(cd), ops[idx["wr"]].T) * relu_mask(r["hv"])
+    g_hv_c = g_hv.astype(cd)
+    grads[idx["wvh"]] = _dot_t(r["bneck"], g_hv, cd)
+    grads[idx["wvx"]] = _dot_t(r["v"], g_hv, cd)
+    grads[idx["wvs"]] = _dot_t(r["sv"], g_hv, cd)
+    grads[idx["wvc"]] = _dot_t(r["cv"], g_hv, cd)
+    grads[idx["bv"]] = jnp.sum(g_hv, axis=0, keepdims=True)
+
+    # bottleneck has no activation (models/mlp.py:154).
+    g_bneck = _dot(g_hv_c, ops[idx["wvh"]].T)
+    h_last = r["acts"][-1]
+    grads[idx["wb"]] = _dot_t(h_last, g_bneck, cd)
+    grads[idx["bb"]] = jnp.sum(g_bneck, axis=0, keepdims=True)
+    grads[idx["wd"]] = _dot_t(h_last, g_dens, cd)
+    grads[idx["bd"]] = jnp.sum(g_dens, axis=0, keepdims=True)
+
+    g_h = (_dot(g_bneck.astype(cd), ops[idx["wb"]].T)
+           + _dot(g_dens.astype(cd), ops[idx["wd"]].T))
+    for i in reversed(range(net_depth)):
+        d = layers[i]
+        g_pre = g_h * relu_mask(r["acts"][i])
+        g_pre_c = g_pre.astype(cd)
+        if "wh" in d:
+            grads[d["wh"]] = _dot_t(r["acts"][i - 1], g_pre, cd)
+        if "ws" in d:
+            grads[d["ws"]] = _dot_t(r["s"], g_pre, cd)
+            grads[d["wc"]] = _dot_t(r["c"], g_pre, cd)
+        grads[d["b"]] = jnp.sum(g_pre, axis=0, keepdims=True)
+        if i > 0:
+            g_h = _dot(g_pre_c, ops[d["wh"]].T) if "wh" in d else \
+                jnp.zeros_like(g_h)
+    return grads
+
+
+def _recombine_mip_grads(ag, weights, net_depth, skip_layer, num_freqs,
+                         deg_view):
+    """Aligned grad list -> flax-layout grad list (w/b alternating)."""
+    idx, layers, _ = _op_index(net_depth, skip_layer)
+    pe_rows = 3 * num_freqs
+    out = []
+    for i, d in enumerate(layers):
+        w = weights[2 * i]
+        if "ws" in d and "wh" in d:
+            trunk_rows = w.shape[0] - 2 * pe_rows
+            dw = jnp.zeros(w.shape, jnp.float32)
+            dw = dw.at[:trunk_rows].set(ag[d["wh"]])
+            dw = dw.at[trunk_rows: trunk_rows + pe_rows].set(
+                ag[d["ws"]][:pe_rows]
+            )
+            dw = dw.at[trunk_rows + pe_rows:].set(ag[d["wc"]][:pe_rows])
+        elif "ws" in d:
+            dw = jnp.concatenate(
+                [ag[d["ws"]][:pe_rows], ag[d["wc"]][:pe_rows]], axis=0
+            )
+        else:
+            dw = ag[d["wh"]]
+        out += [dw, ag[d["b"]].reshape(weights[2 * i + 1].shape)]
+    wv = weights[2 * net_depth + 4]
+    width = weights[2 * net_depth + 2].shape[-1]
+    dv = jnp.zeros(wv.shape, jnp.float32)
+    dv = dv.at[:width].set(ag[idx["wvh"]])
+    dv = dv.at[width: width + 3].set(ag[idx["wvx"]])
+    dv = dv.at[width + 3: width + 3 + 3 * deg_view].set(
+        ag[idx["wvs"]][: 3 * deg_view]
+    )
+    dv = dv.at[width + 3 + 3 * deg_view:].set(ag[idx["wvc"]][: 3 * deg_view])
+    out += [ag[idx["wd"]], ag[idx["bd"]].reshape(weights[2 * net_depth + 1].shape)]
+    out += [ag[idx["wb"]], ag[idx["bb"]].reshape(weights[2 * net_depth + 3].shape)]
+    out += [dv, ag[idx["bv"]].reshape(weights[2 * net_depth + 5].shape)]
+    out += [ag[idx["wr"]], ag[idx["br"]].reshape(weights[2 * net_depth + 7].shape)]
+    return out
+
+
+def _pad_rows(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def _whole(w):
+    return pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _tile_spec(tile, lanes):
+    return pl.BlockSpec((tile, lanes), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_pallas(weights, means, covs, views, net_depth, skip_layer,
+                num_freqs, deg_view, tile, interpret, compute_dtype,
+                out_lanes: int = 128):
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs,
+                              deg_view, compute_dtype)
+    n = means.shape[0]
+    n_pad = -(-n // tile) * tile
+    args = [_pad_rows(x, n_pad) for x in (means, covs, views)]
+    grid = (n_pad // tile,)
+
+    def kernel(m_ref, c_ref, v_ref, *refs):
+        *op_refs, out_ref = refs
+        vals = [r[:] for r in op_refs]
+        out, _ = _mip_aligned_forward(
+            m_ref[:], c_ref[:], v_ref[:], vals, net_depth=net_depth,
+            skip_layer=skip_layer, compute_dtype=compute_dtype,
+        )
+        if out_lanes > 4:
+            out = jnp.concatenate(
+                [out, jnp.zeros((out.shape[0], out_lanes - 4), out.dtype)],
+                axis=-1,
+            )
+        out_ref[:] = out
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tile_spec(tile, 3)] * 3 + [_whole(w) for w in ops],
+        out_specs=_tile_spec(tile, out_lanes),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*args, *ops)
+    return out[:n, :4]
+
+
+def _bwd_pallas(weights, means, covs, views, g, net_depth, skip_layer,
+                num_freqs, deg_view, tile, interpret, compute_dtype):
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs,
+                              deg_view, compute_dtype)
+    n = means.shape[0]
+    n_pad = -(-n // tile) * tile
+    args = [_pad_rows(x, n_pad) for x in (means, covs, views)]
+    g_p = _pad_rows(g, n_pad)
+    grid = (n_pad // tile,)
+    trainable = list(range(3, len(ops)))  # all but F/F2/Fv
+
+    def kernel(m_ref, c_ref, v_ref, g_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_refs = refs[len(ops): len(ops) + len(trainable)]
+        acc_refs = refs[len(ops) + len(trainable):]
+        vals = [r[:] for r in op_refs]
+        tile_grads = _mip_aligned_backward(
+            g_ref[:], m_ref[:], c_ref[:], v_ref[:], vals,
+            net_depth=net_depth, skip_layer=skip_layer,
+            compute_dtype=compute_dtype,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, o_ref) in enumerate(zip(acc_refs, out_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, o_ref=o_ref):
+                o_ref[:] = a_ref[:]
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tile_spec(tile, 3)] * 3 + [_tile_spec(tile, 4)]
+        + [_whole(w) for w in ops],
+        out_specs=tuple(_whole(ops[t]) for t in trainable),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*args, g_p, *ops)
+
+    aligned_grads = [None, None, None] + list(grads)
+    return _recombine_mip_grads(aligned_grads, weights, net_depth,
+                                skip_layer, num_freqs, deg_view)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10),
+)
+def fused_mip_mlp_train(
+    weights: Sequence[jnp.ndarray],
+    means: jnp.ndarray,
+    covs: jnp.ndarray,
+    views: jnp.ndarray,
+    net_depth: int = 8,
+    skip_layer: int = 4,
+    num_freqs: int = 16,
+    deg_view: int = 4,
+    tile: int = TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Differentiable aligned fused MipMLP.
+
+    weights: flat flax-layout list (flatten_mip_params order). means/covs:
+    [N, 3] Gaussian means and diagonal covariances; views: [N, 3] raw
+    viewdirs. Returns [N, 4] = [rgb_raw, density_raw]; weight grads only.
+    """
+    return _fwd_pallas(weights, means, covs, views, net_depth, skip_layer,
+                       num_freqs, deg_view, tile, interpret, compute_dtype)
+
+
+def _vjp_fwd(weights, means, covs, views, net_depth, skip_layer, num_freqs,
+             deg_view, tile, interpret, compute_dtype):
+    out = _fwd_pallas(weights, means, covs, views, net_depth, skip_layer,
+                      num_freqs, deg_view, tile, interpret, compute_dtype)
+    return out, (weights, means, covs, views)
+
+
+def _vjp_bwd(net_depth, skip_layer, num_freqs, deg_view, tile, interpret,
+             compute_dtype, residuals, g):
+    weights, means, covs, views = residuals
+    d_weights = _bwd_pallas(
+        weights, means, covs, views, g, net_depth, skip_layer, num_freqs,
+        deg_view, tile, interpret, compute_dtype,
+    )
+    return (tuple(d_weights), jnp.zeros_like(means), jnp.zeros_like(covs),
+            jnp.zeros_like(views))
+
+
+fused_mip_mlp_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def reference_mip_mlp_apply(weights, means, covs, views, *, net_depth=8,
+                            skip_layer=4, num_freqs=16, deg_view=4,
+                            compute_dtype=jnp.float32):
+    """Pure-XLA oracle on the same aligned math (no Pallas)."""
+    ops = prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs,
+                              deg_view, compute_dtype)
+    out, _ = _mip_aligned_forward(
+        means, covs, views, ops, net_depth=net_depth,
+        skip_layer=skip_layer, compute_dtype=compute_dtype,
+    )
+    return out

@@ -30,6 +30,12 @@ from consistentnerf_tpu.ops import fused_mlp as fm
 
 TRAIN_TILE = 256
 
+# Raise XLA's 16 MiB default scoped-vmem cap (v5e has ~128 MiB physical):
+# the backward keeps weights + fp32 grad accumulators resident and the
+# forward wants large tiles.
+_FWD_VMEM_LIMIT = 64 * 1024 * 1024
+_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _forward_tile(pts, views, weights, *, net_depth, skips, multires,
                   multires_views, compute_dtype=jnp.float32):
@@ -232,6 +238,9 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], out_lanes),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(pts_p, views_p, *weights)
     return out[:n, :4]
@@ -299,6 +308,9 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
         scratch_shapes=[
             pltpu.VMEM(w.shape, jnp.float32) for w in weights
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(pts_p, views_p, g_p, *weights)
     return list(grads)

@@ -48,6 +48,10 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2_train
 
         base = fused_mlp_v2_train
+    elif kind == "v2h":
+        from consistentnerf_tpu.ops.fused_mlp_v2 import hybrid_mlp_v2_train
+
+        base = hybrid_mlp_v2_train
     elif kind == "hybrid":
         from consistentnerf_tpu.ops.fused_mlp_train import hybrid_mlp_train
 
@@ -112,6 +116,151 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         out["z_std"] = jnp.std(z_samples, axis=-1)
     out.update(rgb=rgb, disp=disp, acc=acc, depth=depth)
     return out
+
+
+def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
+                      compute_extras=False, tile: int = 1024,
+                      interpret: bool | None = None):
+    """MipNeRF.__call__ semantics (models/mipnerf.py:41-131) with the MLP
+    evaluated by the aligned fused kernel. Requires cfg.disable_normals
+    (normals need per-point density grads and stay on the XLA path)."""
+    from consistentnerf_tpu.ops import fused_mip
+
+    assert cfg.disable_normals, "fused mip step requires disable_normals"
+    weights = [jnp.asarray(w) for w in
+               fused_mip.flatten_mip_params(params, cfg.netdepth)]
+    cd = jnp.dtype(cfg.compute_dtype).type
+    # MipMLP defaults not exposed via the factory.
+    skip_layer, deg_view = 4, 4
+    rgb_padding, density_bias = 0.001, -1.0
+
+    renderings = []
+    t_vals = None
+    weights_render = None
+    for i_level in range(cfg.mip_num_levels):
+        if rng is None:
+            key = None
+        else:
+            key, rng = jax.random.split(rng)
+        if i_level == 0:
+            t_vals, samples = sampling.sample_along_rays(
+                key, rays.origins, rays.directions, rays.radii,
+                cfg.mip_num_samples, rays.near, rays.far,
+                cfg.genspace_fn, cfg.ray_shape, cfg.single_jitter,
+            )
+        else:
+            t_vals, samples = sampling.resample_along_rays(
+                key, rays.origins, rays.directions, rays.radii,
+                t_vals, weights_render, cfg.ray_shape,
+                cfg.stop_level_grad, resample_padding, cfg.single_jitter,
+            )
+        means, covs = samples
+        if cfg.disable_integration:
+            covs = jnp.zeros_like(covs)
+        n, s = means.shape[:2]
+        raw = fused_mip.fused_mip_mlp_train(
+            tuple(weights),
+            means.reshape(n * s, 3),
+            covs.reshape(n * s, 3),
+            jnp.broadcast_to(rays.viewdirs[:, None, :], (n, s, 3)).reshape(
+                n * s, 3
+            ),
+            cfg.netdepth, skip_layer, cfg.max_deg_point, deg_view,
+            tile, interpret, cd,
+        )
+        rgb = jax.nn.sigmoid(raw[:, :3])
+        rgb = (rgb * (1 + 2 * rgb_padding) - rgb_padding).reshape(n, s, 3)
+        raw_density = raw[:, 3]
+        if (rng is not None) and (cfg.density_noise > 0):
+            nkey, rng = jax.random.split(rng)
+            raw_density = raw_density + cfg.density_noise * (
+                jax.random.normal(nkey, raw_density.shape)
+            )
+        density = jax.nn.softplus(raw_density + density_bias).reshape(n, s)
+        normals = jnp.full((n, s, 3), jnp.nan)
+
+        weights_render, _, _, delta = rendering.compute_alpha_weights(
+            density, t_vals, rays.directions
+        )
+        renderings.append(
+            rendering.volumetric_rendering(
+                rgb, weights_render, normals, t_vals, cfg.white_bkgd,
+                cfg.vis_num_rays, compute_extras, delta,
+            )
+        )
+    return renderings
+
+
+def build_fused_mip_train_step(
+    cfg,
+    tx: Optional[optax.GradientTransformation] = None,
+    donate: bool = True,
+    tile: Optional[int] = None,
+) -> Callable:
+    """Fused-kernel counterpart of step.build_mip_train_step (identical
+    schedules/losses, MLP evals through ops.fused_mip)."""
+    tx = tx or make_optimizer(cfg)
+    tile = tile or cfg.fused_tile
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        key, key2 = jax.random.split(rng)
+
+        frac = state.step / cfg.total_iters
+        resample_padding = mathx.log_lerp(
+            frac, cfg.resample_padding_init, cfg.resample_padding_final
+        )
+        if cfg.depth_tvnorm_decay:
+            tvnorm_loss_weight = mathx.compute_tvnorm_weight(
+                state.step, cfg.depth_tvnorm_maxstep,
+                cfg.depth_tvnorm_loss_mult_start,
+                cfg.depth_tvnorm_loss_mult_end,
+            )
+        else:
+            tvnorm_loss_weight = cfg.depth_tvnorm_loss_mult
+
+        render_random = (
+            (cfg.depth_tvnorm_loss_mult != 0.0) or cfg.depth_tvnorm_decay
+        ) and ("rays_random" in batch)
+
+        def loss_fn(params):
+            renderings = fused_mip_forward(
+                params, key if cfg.randomized else None, batch["rays"],
+                cfg, resample_padding=resample_padding,
+                compute_extras=(cfg.compute_disp_metrics
+                                or cfg.compute_normal_metrics),
+                tile=tile,
+            )
+            renderings_random = None
+            if render_random:
+                renderings_random = fused_mip_forward(
+                    params, key2 if cfg.randomized else None,
+                    batch["rays_random"], cfg,
+                    resample_padding=resample_padding,
+                    compute_extras=True, tile=tile,
+                )
+            return losses_lib.mip_losses(
+                renderings, renderings_random, batch, params, cfg,
+                tvnorm_loss_weight,
+            )
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        stats["grad_norm"] = losses_lib.tree_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        stats["lr"] = mathx.learning_rate_decay(
+            state.step, cfg.lr_init, cfg.lr_final, cfg.total_iters,
+            cfg.lr_delay_steps, cfg.lr_delay_mult,
+        )
+        return (
+            TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            stats,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def build_fused_vanilla_train_step(

@@ -118,6 +118,18 @@ def train(
         train_step = step_lib.build_vanilla_train_step(
             model, cfg, lpips_params=lpips_params
         )
+    elif cfg.use_fused_train and cfg.backbone == "mipnerf":
+        if not cfg.disable_normals:
+            raise ValueError(
+                "use_fused_train with the mip backbone requires "
+                "disable_normals=true (normals need per-point density "
+                "grads; use the XLA step for normal metrics)"
+            )
+        from consistentnerf_tpu.ops.fused_train import (
+            build_fused_mip_train_step,
+        )
+
+        train_step = build_fused_mip_train_step(cfg)
     else:
         train_step = step_lib.build_train_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())

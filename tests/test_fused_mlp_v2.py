@@ -124,6 +124,39 @@ def test_v2_bf16_close_to_fp32():
     assert np.abs(o16 - o32).max() / scale < 0.15
 
 
+def test_v2h_hybrid_forward_and_grads():
+    """hybrid_mlp_v2_train: XLA forward == oracle exactly; aligned Pallas
+    backward == jax.grad of the oracle."""
+    weights, pts, views, cfg = _setup()
+
+    out = v2.hybrid_mlp_v2_train(
+        weights, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+        cfg["multires"], cfg["multires_views"], 32, True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_oracle(weights, pts, views, cfg)),
+        atol=1e-6, rtol=1e-6,
+    )
+
+    def loss_h(ws):
+        o = v2.hybrid_mlp_v2_train(
+            ws, pts, views, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_oracle(ws):
+        return jnp.sum(jnp.sin(_oracle(ws, pts, views, cfg)))
+
+    g_h = jax.grad(loss_h)(weights)
+    g_or = jax.grad(loss_oracle)(weights)
+    for i, (a, b) in enumerate(zip(g_h, g_or)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"weight {i}",
+        )
+
+
 def test_v2_forward_only_entry():
     """fused_mlp_v2 (param-tree entry) == oracle."""
     mlp = NeRFMLP(net_depth=4, net_width=32, skips=(2,))

@@ -370,3 +370,42 @@ def test_training_seed_deterministic_with_prefetch(scene, tmp_path):
         )
 
     np.testing.assert_array_equal(run("a"), run("b"))
+
+
+def test_fused_mip_step_matches_xla_step(scene):
+    """The fused mip train step (interpret-mode kernels on CPU) produces
+    the same loss and near-identical updated params as the XLA step."""
+    from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
+
+    cfg = tiny_mip_cfg(
+        use_fused_train=True, fused_tile=64,
+        depth_tvnorm_decay=True,
+        depth_tvnorm_maxstep=512,
+        depth_tvnorm_loss_mult_start=400.0,
+        depth_tvnorm_loss_mult_end=0.1,
+        depth_tvnorm_mask_weight=1.0,
+        load_random_rays=True,
+        batch_size_random=128,
+        random_patch_size=8,
+        randomized=False,
+    )
+    model = make_model(cfg)
+    batcher = MipBatcher(scene, cfg, random_poses=scene.poses[:4])
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+
+    xla_step = step_lib.build_train_step(model, cfg, donate=False)
+    fused_step = build_fused_mip_train_step(cfg, donate=False, tile=64)
+
+    key = jax.random.PRNGKey(0)
+    s_x, st_x = xla_step(state, batch, key)
+    s_f, st_f = fused_step(state, batch, key)
+    np.testing.assert_allclose(
+        float(st_f["loss"]), float(st_x["loss"]), rtol=2e-4, atol=2e-4
+    )
+    lx = jax.tree_util.tree_leaves(s_x.params)
+    lf = jax.tree_util.tree_leaves(s_f.params)
+    for a, b in zip(lf, lx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+        )

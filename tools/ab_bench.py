@@ -14,8 +14,12 @@ variants: xla fused_fp32 fused_bf16 fused_bf16_t512 render_xla
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Runnable as `python tools/ab_bench.py` without an installed package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def setup_jax():
@@ -58,6 +62,25 @@ def build_variant(name, scene, batch):
 
     if name == "xla":
         cfg = flagship_cfg()
+    elif name == "xla_coarse":
+        # no fine level: isolates sample_pdf + the 2x-points fine MLP
+        cfg = flagship_cfg(N_importance=0)
+    elif name == "xla_noloss":
+        # rgb-MSE only: isolates the consistency/patch loss terms
+        cfg = flagship_cfg(hardmask=False, with_depth_loss=False,
+                           n_patches=0)
+    elif name == "v2_noloss":
+        cfg = flagship_cfg(hardmask=False, with_depth_loss=False,
+                           n_patches=0, use_fused_train=True,
+                           fused_tile=1024, fused_kernel="v2")
+    elif name == "xla_s192":
+        # single level, same total point count as the flagship (983k):
+        # isolates point-count scaling from the hierarchical machinery
+        cfg = flagship_cfg(N_samples=192, N_importance=0)
+    elif name == "v2_s192":
+        cfg = flagship_cfg(N_samples=192, N_importance=0,
+                           use_fused_train=True, fused_tile=1024,
+                           fused_kernel="v2")
     elif name == "xla_remat":
         cfg = flagship_cfg(remat_mlp=True)
     elif name == "fused_fp32":
@@ -84,6 +107,10 @@ def build_variant(name, scene, batch):
     elif name == "hybrid_bf16_t512":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
                            fused_kernel="hybrid")
+    elif name.startswith("v2h_bf16"):
+        cfg = flagship_cfg(use_fused_train=True,
+                           fused_tile=int(name.split("_t")[-1]),
+                           fused_kernel="v2h")
     else:
         raise ValueError(name)
 
@@ -176,6 +203,72 @@ def run_train_variants(names):
     return results
 
 
+def run_fwd_variants(names):
+    """Time the train FORWARD alone (no grad/optimizer): fwd_xla, fwd_v2,
+    fwd_v2_nopdf (det fine z: no sample_pdf / sort / PRNG)."""
+    import jax
+    import jax.numpy as jnp
+
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    results = {}
+    scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
+    for name in names:
+        kw = {}
+        if "nopdf" in name:
+            kw = dict(perturb=0.0)
+        if "v2" in name:
+            kw.update(use_fused_train=True, fused_tile=1024,
+                      fused_kernel="v2")
+        cfg = flagship_cfg(**kw)
+        model = make_model(cfg)
+        batch = VanillaBatcher(scene, cfg).next_batch()
+        state = loop_lib.init_state(cfg, model, batch)
+        rays = step_lib.rays_from_batch(batch, cfg.near, cfg.far)
+
+        if cfg.use_fused_train:
+            from consistentnerf_tpu.ops.fused_train import (
+                fused_vanilla_forward,
+            )
+
+            def fwd(params, rng, s):
+                out = fused_vanilla_forward(
+                    params, rng if cfg.perturb > 0 else None,
+                    rays.replace(origins=rays.origins + s), cfg,
+                    tile=cfg.fused_tile,
+                )
+                return out["rgb"].sum() + out["rgb0"].sum()
+
+        else:
+
+            def fwd(params, rng, s):
+                out = model.apply(
+                    params, rng if cfg.perturb > 0 else None,
+                    rays.replace(origins=rays.origins + s),
+                )
+                return out["rgb"].sum() + out["rgb0"].sum()
+
+        f = jax.jit(fwd)
+        key = jax.random.PRNGKey(0)
+        float(f(state.params, key, 0.0))
+        REPS = 10
+        best = float("inf")
+        for trial in range(3):
+            t0 = time.perf_counter()
+            r = None
+            for i in range(REPS):
+                r = f(state.params, key, 1e-5 * (trial * REPS + i + 1))
+            float(r)
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        results[name] = {"fwd_ms": round(best * 1e3, 2)}
+        print(name, json.dumps(results[name]), flush=True)
+    return results
+
+
 def run_render_variants(names):
     import jax
     import numpy as np
@@ -232,9 +325,10 @@ def run_kernel_micro(names):
     from consistentnerf_tpu.ops import fused_mlp as fm
     from consistentnerf_tpu.ops.fused_mlp_train import fused_mlp_train
 
-    # Coarse-level point count: the full fine-level (983k) XLA grad graph
-    # trips a register-allocation RET_CHECK in this compiler build.
-    n = 5120 * 64
+    # Coarse-level point count by default: the full fine-level (983k) XLA
+    # grad graph trips a register-allocation RET_CHECK in this compiler
+    # build. `_n983` variants run at the fine-level count.
+    n = 5120 * 192 if any("n983" in m for m in names) else 5120 * 64
     mlp = NeRFMLP()
     pe, ve = 63, 27
     params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((2, pe)),
@@ -256,15 +350,32 @@ def run_kernel_micro(names):
         elif name.startswith("k_fusedpad"):
             from consistentnerf_tpu.ops import fused_mlp_train as fmt
 
-            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
             tile = 512 if "512" in name else 256
 
             def fwd(ws, _t=tile, _cd=cd):
                 return fmt._fwd_pallas(ws, pts, views, 8, (4,), 10, 4,
                                        _t, False, _cd, out_lanes=128)
 
+        elif name.startswith(("k_v2", "k_h2")):
+            from consistentnerf_tpu.ops.fused_mlp_v2 import (
+                fused_mlp_v2_train,
+                hybrid_mlp_v2_train,
+            )
+
+            base = (hybrid_mlp_v2_train if name.startswith("k_h2")
+                    else fused_mlp_v2_train)
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
+            tile = 512
+            for t in ("512", "1024", "2048"):
+                if f"t{t}" in name:
+                    tile = int(t)
+
+            def fwd(ws, _t=tile, _cd=cd, _b=base):
+                return _b(ws, pts, views, 8, (4,), 10, 4, _t, False, _cd)
+
         elif name.startswith("k_fused"):
-            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
             tile = 512 if "512" in name else 256
 
             def fwd(ws, _t=tile, _cd=cd):
@@ -274,7 +385,7 @@ def run_kernel_micro(names):
         elif name.startswith("k_xlarm"):
             # XLA fwd with jax.checkpoint: backward recomputes instead of
             # saving activations.
-            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
 
             @jax.checkpoint
             def fwd(ws, _cd=cd):
@@ -286,7 +397,7 @@ def run_kernel_micro(names):
                 )
 
         elif name.startswith("k_xla"):
-            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
 
             def fwd(ws, _cd=cd):
                 flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
@@ -301,7 +412,7 @@ def run_kernel_micro(names):
             # VMEM-recompute backward kernel.
             from consistentnerf_tpu.ops import fused_mlp_train as fmt
 
-            cd = jnp.bfloat16 if name.endswith("bf16") else jnp.float32
+            cd = jnp.bfloat16 if "bf16" in name else jnp.float32
             tile = 512 if "512" in name else 256
 
             def fwd(ws, _t=tile, _cd=cd):
@@ -559,13 +670,16 @@ def main():
     args = sys.argv[1:] or ["xla", "fused_fp32", "fused_bf16",
                             "fused_bf16_t512"]
     train_names = [a for a in args
-                   if not a.startswith(("render", "k_", "c_"))]
+                   if not a.startswith(("render", "k_", "c_", "fwd_"))]
     render_names = [a for a in args if a.startswith("render")]
+    fwd_names = [a for a in args if a.startswith("fwd_")]
     kernel_names = [a for a in args
                     if a.startswith("k_") and a != "k_matmul"]
     out = {}
     if train_names:
         out.update(run_train_variants(train_names))
+    if fwd_names:
+        out.update(run_fwd_variants(fwd_names))
     if render_names:
         out.update(run_render_variants(render_names))
     if kernel_names:
