@@ -66,6 +66,53 @@ def raw2outputs(
     return rgb_map, disp_map, acc_map, weights, depth_map
 
 
+def raw2outputs_T(
+    raw_T: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    noise: Optional[jnp.ndarray] = None,
+    white_bkgd: bool = False,
+):
+    """raw2outputs on a TRANSPOSED raw stream: raw_T [4, N, S].
+
+    Numerically identical to raw2outputs(raw.transpose(1, 2, 0), ...)
+    but never materializes an [N, S, 4] array — that orientation pads 4
+    lanes to 128 in HBM (T(8,128) tiling, ~32x traffic); here every
+    intermediate is [N, S] or [3, N, S] with S on the lane axis. Returns
+    the usual (rgb_map [N, 3], disp, acc, weights [N, S], depth)."""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1
+    )  # [N, S]
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[..., None]
+
+    rgb_T = jax.nn.sigmoid(raw_T[:3])  # [3, N, S]
+    density_logit = raw_T[3]  # [N, S]
+    if noise is not None:
+        density_logit = density_logit + noise
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(density_logit) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1
+        ),
+        -1,
+    )[..., :-1]
+    weights = alpha * trans
+
+    rgb_map = jnp.sum(weights[None] * rgb_T, -1).T  # [N, 3]
+    depth_map = jnp.sum(weights * z_vals, -1)
+    acc_map = jnp.sum(weights, -1)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10 * jnp.ones_like(depth_map), depth_map / acc_map
+    )
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return rgb_map, disp_map, acc_map, weights, depth_map
+
+
 def compute_alpha_weights(density, t_vals, dirs):
     """mip-NeRF alpha weights from density between fenceposts (mip.py:195-208)."""
     t_dists = t_vals[..., 1:] - t_vals[..., :-1]

@@ -3,16 +3,22 @@
 Same design as `ops.fused_mlp_v2` applied to the mip backbone
 (`RegNeRF/internal/models.py:173-280` semantics, via models/mlp.py::MipMLP):
 
-* The IPE becomes two matmuls on aligned registers: p = means @ F and
-  pv = covs_diag @ F2 with F [3, 128] holding 2^k at column 3k+j (and F2
-  holding 4^k), then s = exp(-pv/2)*sin(p), c = exp(-pv/2)*sin(p + pi/2)
-  on [tile, 128] registers (mip.py:160-192 ordering: all sin, then all
-  cos). Range reduction matches mathx.safe_sin (x % 100pi for |x|>=100pi).
-* The first trunk layer consumes split weight blocks Ws/Wc (rows 0:48 /
-  48:96 of Dense_0, zero-padded to 128 rows so the padding columns of
-  s/c hit zero weights); the post-skip layer (input [act, inputs],
-  models.py:112-113 order) splits into Wh/Ws/Wc; the viewdir layer
-  (input [bottleneck, viewdirs_enc], :165) splits into Wvh/Wvx/Wvs/Wvc.
+* The IPE becomes two matmuls + ONE sin pass on ONE packed [tile, 128]
+  register: p = means @ F and pv = covs_diag @ F2 with F [3, 128]
+  holding 2^k at column 3k+j (sin half) AND at column 64+3k+j (cos
+  half; F2 holds 4^k in both halves), then
+  sc = exp(-pv/2) * safe_sin(p + B) where the static bias B adds pi/2
+  to the high half (sin(t + pi/2) = cos(t); the damping is identical
+  for both halves). Column order within each half matches
+  mip.py:160-192 (all sin, then all cos). Range reduction matches
+  mathx.safe_sin (x % 100pi for |x| >= 100pi).
+* The first trunk layer consumes ONE packed block Wsc (sin rows 0:48 at
+  block rows 0.., cos rows 48:96 at block rows 64..); the post-skip
+  layer (input [act, inputs], models.py:112-113 order) splits into
+  Wh/Wsc; the viewdir layer (input [bottleneck, viewdirs_enc], :165)
+  splits into Wvh/Wvsc with the RAW viewdirs folded into the packed
+  view register at columns 60..62 via the exact-scaled tiny-angle
+  identity sin(2^-14 v) * 2^14 ~= v (matching weight rows pre-scaled).
 * Outputs are the RAW heads [N, 4] = [rgb_raw(3), density_raw(1)] —
   sigmoid/rgb-padding/softplus/density-noise stay outside the kernel
   (they touch rng and config, and cost nothing in XLA).
@@ -46,6 +52,13 @@ from consistentnerf_tpu.ops import fused_mlp as fm
 PE_W = 128
 TILE = 1024
 
+# Packed-register column layout (same as fused_mlp_v2): sin at [0, 3F),
+# raw input at [X_OFF, X_OFF+3) (view register only), cos at
+# [COS_OFF, COS_OFF+3F). Requires 3*num_freqs <= X_OFF.
+X_OFF = 60
+COS_OFF = 64
+X_SCALE = 2.0**-14
+
 _FWD_VMEM_LIMIT = 64 * 1024 * 1024
 _BWD_VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -70,29 +83,32 @@ def flatten_mip_params(params, net_depth: int = 8) -> list:
     return out
 
 
-def _freq_matrix(num_freqs, power):
-    """F [3, PE_W]: p[:, 3k+j] = x_j * power^k; other columns zero."""
+def _freq_matrix(num_freqs, power, with_x=False):
+    """Packed F [3, PE_W]: p[:, 3k+j] = p[:, COS_OFF+3k+j] = x_j *
+    power^k; optionally the raw input at the X_OFF columns (scaled by
+    X_SCALE, view register only)."""
+    if 3 * num_freqs > X_OFF:
+        raise ValueError(
+            f"packed IPE register supports at most {X_OFF // 3} freqs, "
+            f"got {num_freqs}"
+        )
     f = np.zeros((3, PE_W), np.float32)
     for k in range(num_freqs):
         for j in range(3):
             f[j, 3 * k + j] = float(power) ** k
+            f[j, COS_OFF + 3 * k + j] = float(power) ** k
+    if with_x:
+        for j in range(3):
+            f[j, X_OFF + j] = X_SCALE
     return jnp.asarray(f)
 
 
-def _split_rows(w, splits, cd, pad_to=None):
-    """Split a weight's rows at the given boundaries; zero-pad each piece
-    (except the first) to pad_to rows when requested."""
-    pieces = []
-    start = 0
-    for i, end in enumerate(list(splits) + [w.shape[0]]):
-        piece = w[start:end].astype(cd)
-        if pad_to is not None and i > 0 and piece.shape[0] < pad_to:
-            piece = jnp.zeros((pad_to, w.shape[1]), cd).at[
-                : piece.shape[0]
-            ].set(piece)
-        pieces.append(piece)
-        start = end
-    return pieces
+def _phase_bias():
+    """pi/2 on the high half: sin(t + pi/2) = cos(t). Built from an iota
+    (Pallas kernels cannot capture array constants)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, PE_W), 1)
+    return jnp.where(col >= COS_OFF, np.float32(np.pi / 2),
+                     np.float32(0.0))
 
 
 def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
@@ -101,9 +117,9 @@ def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
 
     Operand order (static, mirrored by the kernels):
       F, F2, Fv,
-      layer 0: Ws, Wc, b
-      layers 1..D-1: Wh [, Ws, Wc if post-skip] b
-      Wd, bd, Wb, bb, Wvh, Wvx, Wvs, Wvc, bv, Wr, br
+      layer 0: Wsc, b
+      layers 1..D-1: Wh [, Wsc if post-skip] b
+      Wd, bd, Wb, bb, Wvh, Wvsc, bv, Wr, br
     Biases stay fp32 [1, C].
     """
     cd = compute_dtype
@@ -111,8 +127,17 @@ def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
     ops = [
         _freq_matrix(num_freqs, 2.0),
         _freq_matrix(num_freqs, 4.0),
-        _freq_matrix(deg_view, 2.0),
+        _freq_matrix(deg_view, 2.0, with_x=True),
     ]
+
+    def pack_sc(w_sin, w_cos, out):
+        wsc = jnp.zeros((PE_W, out), cd)
+        wsc = wsc.at[: w_sin.shape[0]].set(w_sin.astype(cd))
+        wsc = wsc.at[COS_OFF: COS_OFF + w_cos.shape[0]].set(
+            w_cos.astype(cd)
+        )
+        return wsc
+
     wi = 0
     post_skip = {i for i in range(1, net_depth)
                  if (i - 1) % skip_layer == 0 and (i - 1) > 0}
@@ -120,14 +145,14 @@ def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
         w, b = weights[wi], weights[wi + 1]
         wi += 2
         if i == 0:
-            ws, wc = _split_rows(w, [0, pe_rows], cd, pad_to=PE_W)[1:]
-            ops += [ws, wc]
+            ops.append(pack_sc(w[:pe_rows], w[pe_rows:], w.shape[-1]))
         elif i in post_skip:
-            wh, ws, wc = _split_rows(
-                w, [w.shape[0] - 2 * pe_rows, w.shape[0] - pe_rows], cd,
-                pad_to=PE_W,
-            )
-            ops += [wh, ws, wc]
+            trunk_rows = w.shape[0] - 2 * pe_rows
+            ops += [
+                w[:trunk_rows].astype(cd),
+                pack_sc(w[trunk_rows: trunk_rows + pe_rows],
+                        w[trunk_rows + pe_rows:], w.shape[-1]),
+            ]
         else:
             ops.append(w.astype(cd))
         ops.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
@@ -137,17 +162,19 @@ def prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs, deg_view,
     wr, br = weights[wi + 6], weights[wi + 7]
     width = wb.shape[-1]
     vh = wv[:width].astype(cd)
-    vx = wv[width: width + 3].astype(cd)
-    vs, vc = _split_rows(
-        wv[width + 3:], [3 * deg_view], cd, pad_to=PE_W
+    # viewdir rows: [bneck (width), v (3), sin (3*deg), cos (3*deg)];
+    # raw v folds into the X_OFF rows, pre-scaled by 1/X_SCALE (exact).
+    vsc = pack_sc(
+        wv[width + 3: width + 3 + 3 * deg_view],
+        wv[width + 3 + 3 * deg_view:], wv.shape[-1]
     )
-    # _split_rows' first piece is unpadded; pad vs too.
-    if vs.shape[0] < PE_W:
-        vs = jnp.zeros((PE_W, wv.shape[1]), cd).at[: vs.shape[0]].set(vs)
+    vsc = vsc.at[X_OFF: X_OFF + 3].set(
+        (wv[width: width + 3] * (1.0 / X_SCALE)).astype(cd)
+    )
     ops += [
         wd.astype(cd), jnp.asarray(bd, jnp.float32).reshape(1, -1),
         wb.astype(cd), jnp.asarray(bb, jnp.float32).reshape(1, -1),
-        vh, vx, vs, vc, jnp.asarray(bv, jnp.float32).reshape(1, -1),
+        vh, vsc, jnp.asarray(bv, jnp.float32).reshape(1, -1),
         wr.astype(cd), jnp.asarray(br, jnp.float32).reshape(1, -1),
     ]
     return ops
@@ -178,15 +205,14 @@ def _op_index(net_depth, skip_layer):
     for i in range(net_depth):
         d = {}
         if i == 0:
-            d["ws"], d["wc"] = next(it), next(it)
+            d["wsc"] = next(it)
         elif i in post_skip:
-            d["wh"], d["ws"], d["wc"] = next(it), next(it), next(it)
+            d["wh"], d["wsc"] = next(it), next(it)
         else:
             d["wh"] = next(it)
         d["b"] = next(it)
         layers.append(d)
-    for k in ("wd", "bd", "wb", "bb", "wvh", "wvx", "wvs", "wvc", "bv",
-              "wr", "br"):
+    for k in ("wd", "bd", "wb", "bb", "wvh", "wvsc", "bv", "wr", "br"):
         idx[k] = next(it)
     return idx, layers, post_skip
 
@@ -201,16 +227,13 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
     m32 = means.astype(jnp.float32)
     c32 = covs.astype(jnp.float32)
     p = _dot(m32, F)
-    pv = _dot(c32, F2)
-    damp = jnp.exp(-0.5 * pv)
-    s = (damp * _safe_sin(p)).astype(cd)
-    c = (damp * _safe_sin(p + 0.5 * jnp.pi)).astype(cd)
+    damp = jnp.exp(-0.5 * _dot(c32, F2))
+    sc = (damp * _safe_sin(p + _phase_bias())).astype(cd)
 
     acts = []
     h = None
     for i, d in enumerate(layers):
-        pre = _dot(s, ops[d["ws"]]) + _dot(c, ops[d["wc"]]) if "ws" in d \
-            else 0.0
+        pre = _dot(sc, ops[d["wsc"]]) if "wsc" in d else 0.0
         if "wh" in d:
             pre = pre + _dot(h, ops[d["wh"]])
         h = jnp.maximum(pre + ops[d["b"]], 0.0).astype(cd)
@@ -220,19 +243,15 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
     bneck = (_dot(h, ops[idx["wb"]]) + ops[idx["bb"]]).astype(cd)
 
     v32 = views.astype(jnp.float32)
-    pvv = _dot(v32, Fv)
-    sv = _safe_sin(pvv).astype(cd)
-    cv = _safe_sin(pvv + 0.5 * jnp.pi).astype(cd)
-    v = views.astype(cd)
+    vsc = _safe_sin(_dot(v32, Fv) + _phase_bias()).astype(cd)
     hv = jnp.maximum(
-        _dot(bneck, ops[idx["wvh"]]) + _dot(v, ops[idx["wvx"]])
-        + _dot(sv, ops[idx["wvs"]]) + _dot(cv, ops[idx["wvc"]])
+        _dot(bneck, ops[idx["wvh"]]) + _dot(vsc, ops[idx["wvsc"]])
         + ops[idx["bv"]],
         0.0,
     ).astype(cd)
     rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
     out = jnp.concatenate([rgb, density], axis=-1)
-    res = dict(s=s, c=c, v=v, sv=sv, cv=cv, acts=acts, bneck=bneck, hv=hv)
+    res = dict(sc=sc, vsc=vsc, acts=acts, bneck=bneck, hv=hv)
     return out, res
 
 
@@ -259,9 +278,7 @@ def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
     g_hv = _dot(g_rgb.astype(cd), ops[idx["wr"]].T) * relu_mask(r["hv"])
     g_hv_c = g_hv.astype(cd)
     grads[idx["wvh"]] = _dot_t(r["bneck"], g_hv, cd)
-    grads[idx["wvx"]] = _dot_t(r["v"], g_hv, cd)
-    grads[idx["wvs"]] = _dot_t(r["sv"], g_hv, cd)
-    grads[idx["wvc"]] = _dot_t(r["cv"], g_hv, cd)
+    grads[idx["wvsc"]] = _dot_t(r["vsc"], g_hv, cd)
     grads[idx["bv"]] = jnp.sum(g_hv, axis=0, keepdims=True)
 
     # bottleneck has no activation (models/mlp.py:154).
@@ -280,9 +297,8 @@ def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
         g_pre_c = g_pre.astype(cd)
         if "wh" in d:
             grads[d["wh"]] = _dot_t(r["acts"][i - 1], g_pre, cd)
-        if "ws" in d:
-            grads[d["ws"]] = _dot_t(r["s"], g_pre, cd)
-            grads[d["wc"]] = _dot_t(r["c"], g_pre, cd)
+        if "wsc" in d:
+            grads[d["wsc"]] = _dot_t(r["sc"], g_pre, cd)
         grads[d["b"]] = jnp.sum(g_pre, axis=0, keepdims=True)
         if i > 0:
             g_h = _dot(g_pre_c, ops[d["wh"]].T) if "wh" in d else \
@@ -298,30 +314,39 @@ def _recombine_mip_grads(ag, weights, net_depth, skip_layer, num_freqs,
     out = []
     for i, d in enumerate(layers):
         w = weights[2 * i]
-        if "ws" in d and "wh" in d:
+        if "wsc" in d and "wh" in d:
             trunk_rows = w.shape[0] - 2 * pe_rows
             dw = jnp.zeros(w.shape, jnp.float32)
             dw = dw.at[:trunk_rows].set(ag[d["wh"]])
             dw = dw.at[trunk_rows: trunk_rows + pe_rows].set(
-                ag[d["ws"]][:pe_rows]
+                ag[d["wsc"]][:pe_rows]
             )
-            dw = dw.at[trunk_rows + pe_rows:].set(ag[d["wc"]][:pe_rows])
-        elif "ws" in d:
+            dw = dw.at[trunk_rows + pe_rows:].set(
+                ag[d["wsc"]][COS_OFF: COS_OFF + pe_rows]
+            )
+        elif "wsc" in d:
             dw = jnp.concatenate(
-                [ag[d["ws"]][:pe_rows], ag[d["wc"]][:pe_rows]], axis=0
+                [ag[d["wsc"]][:pe_rows],
+                 ag[d["wsc"]][COS_OFF: COS_OFF + pe_rows]], axis=0
             )
         else:
             dw = ag[d["wh"]]
         out += [dw, ag[d["b"]].reshape(weights[2 * i + 1].shape)]
     wv = weights[2 * net_depth + 4]
     width = weights[2 * net_depth + 2].shape[-1]
+    dvsc = ag[idx["wvsc"]]
     dv = jnp.zeros(wv.shape, jnp.float32)
     dv = dv.at[:width].set(ag[idx["wvh"]])
-    dv = dv.at[width: width + 3].set(ag[idx["wvx"]])
-    dv = dv.at[width + 3: width + 3 + 3 * deg_view].set(
-        ag[idx["wvs"]][: 3 * deg_view]
+    # d/dw_torch = d/dw_kernel * (1/X_SCALE) for the pre-scaled v rows.
+    dv = dv.at[width: width + 3].set(
+        dvsc[X_OFF: X_OFF + 3] * (1.0 / X_SCALE)
     )
-    dv = dv.at[width + 3 + 3 * deg_view:].set(ag[idx["wvc"]][: 3 * deg_view])
+    dv = dv.at[width + 3: width + 3 + 3 * deg_view].set(
+        dvsc[: 3 * deg_view]
+    )
+    dv = dv.at[width + 3 + 3 * deg_view:].set(
+        dvsc[COS_OFF: COS_OFF + 3 * deg_view]
+    )
     out += [ag[idx["wd"]], ag[idx["bd"]].reshape(weights[2 * net_depth + 1].shape)]
     out += [ag[idx["wb"]], ag[idx["bb"]].reshape(weights[2 * net_depth + 3].shape)]
     out += [dv, ag[idx["bv"]].reshape(weights[2 * net_depth + 5].shape)]

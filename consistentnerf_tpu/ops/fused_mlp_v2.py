@@ -224,8 +224,17 @@ def _dot_t(a, b, cd):
     )
 
 
-def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype):
-    """Forward on aligned operands. Returns (out, residuals)."""
+def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype,
+                     transposed=False):
+    """Forward on aligned operands. Returns (out, residuals).
+
+    transposed=True: pts/views arrive as [3, T] (lane-major point
+    stream — a [N, 3] HBM array pads 3 lanes to 128, a 42x traffic
+    blowup; [3, N] pads 3 sublanes to 8) and the output is [4, T]. The
+    phase matmul becomes a dim0-dim0 contraction (the same form as the
+    backward's weight-grad matmuls, which Mosaic runs at full rate);
+    activations stay row-major [T, C] internally either way.
+    """
     cd = compute_dtype
     it = iter(ops)
     F = next(it)
@@ -233,7 +242,14 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype):
     pe_layers = _pe_layers(net_depth, skips)
 
     x32 = pts.astype(jnp.float32)
-    sc = jnp.sin(_dot(x32, F) + _phase_bias()).astype(cd)
+    if transposed:
+        phases = jax.lax.dot_general(
+            x32, F, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        phases = _dot(x32, F)
+    sc = jnp.sin(phases + _phase_bias()).astype(cd)
 
     acts = []
     h = None
@@ -258,7 +274,14 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype):
     feat = (_dot(h, wf) + bf).astype(cd)
 
     v32 = views.astype(jnp.float32)
-    vsc = jnp.sin(_dot(v32, Fv) + _phase_bias()).astype(cd)
+    if transposed:
+        vphases = jax.lax.dot_general(
+            v32, Fv, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        vphases = _dot(v32, Fv)
+    vsc = jnp.sin(vphases + _phase_bias()).astype(cd)
 
     wvh, wvsc, bv = next(it), next(it), next(it)
     hv = jnp.maximum(
@@ -266,19 +289,27 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype):
     ).astype(cd)
     wr, br = next(it), next(it)
     rgb = _dot(hv, wr) + br
-    out = jnp.concatenate([rgb, alpha], axis=-1)
+    if transposed:
+        # [T, 4] -> [4, T]: a 4-sublane transpose per tile, negligible
+        # next to the 42x lane-padding it avoids on the HBM side.
+        out = jnp.concatenate([rgb, alpha], axis=-1).T
+    else:
+        out = jnp.concatenate([rgb, alpha], axis=-1)
     res = dict(sc=sc, vsc=vsc, acts=acts, feat=feat, hv=hv)
     return out, res
 
 
 def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
-                      compute_dtype):
+                      compute_dtype, transposed=False):
     """Recompute forward, return grads for the ALIGNED operand list
-    (None for F/Fv which are constants)."""
+    (None for F/Fv which are constants).
+
+    transposed=True: pts/views are [3, T] and g is [4, T] (see
+    _aligned_forward); every weight grad keeps its normal shape."""
     cd = compute_dtype
     out, r = _aligned_forward(
         pts, views, ops, net_depth=net_depth, skips=skips,
-        compute_dtype=cd,
+        compute_dtype=cd, transposed=transposed,
     )
     pe_layers = _pe_layers(net_depth, skips)
 
@@ -306,12 +337,33 @@ def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
     def relu_mask(a):
         return a.astype(jnp.float32) > 0
 
-    g_rgb = g[:, :3]
-    g_alpha = g[:, 3:4]
+    if transposed:
+        # g is [4, T]: contract over the T axis directly (dims (0,)x(1,))
+        # instead of materializing [T, 3] slices of a lane-padded array.
+        def dot_gT(a, gT):  # a [T, M], gT [C, T] -> [M, C] fp32
+            return jax.lax.dot_general(
+                a, gT.astype(cd),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    grads[idx_wr] = _dot_t(r["hv"], g_rgb, cd)
-    grads[idx_br] = jnp.sum(g_rgb, axis=0, keepdims=True)
-    g_hv = _dot(g_rgb.astype(cd), ops[idx_wr].T) * relu_mask(r["hv"])
+        def gT_dot(gT, w):  # gT [C, T], w [M, C] -> [T, M] fp32
+            return jax.lax.dot_general(
+                gT.astype(cd), w,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        g_rgb_T = g[:3]
+        g_alpha_T = g[3:4]
+        grads[idx_wr] = dot_gT(r["hv"], g_rgb_T)
+        grads[idx_br] = jnp.sum(g_rgb_T, axis=1)[None, :]
+        g_hv = gT_dot(g_rgb_T, ops[idx_wr]) * relu_mask(r["hv"])
+    else:
+        g_rgb = g[:, :3]
+        grads[idx_wr] = _dot_t(r["hv"], g_rgb, cd)
+        grads[idx_br] = jnp.sum(g_rgb, axis=0, keepdims=True)
+        g_hv = _dot(g_rgb.astype(cd), ops[idx_wr].T) * relu_mask(r["hv"])
     g_hv_c = g_hv.astype(cd)
     grads[idx_wvh] = _dot_t(r["feat"], g_hv, cd)
     grads[idx_wvsc] = _dot_t(r["vsc"], g_hv, cd)
@@ -321,11 +373,18 @@ def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
     h_last = r["acts"][-1]
     grads[idx_wf] = _dot_t(h_last, g_feat, cd)
     grads[idx_bf] = jnp.sum(g_feat, axis=0, keepdims=True)
-    grads[idx_wa] = _dot_t(h_last, g_alpha, cd)
-    grads[idx_ba] = jnp.sum(g_alpha, axis=0, keepdims=True)
-
-    g_h = (_dot(g_feat.astype(cd), ops[idx_wf].T)
-           + _dot(g_alpha.astype(cd), ops[idx_wa].T))
+    if transposed:
+        grads[idx_wa] = dot_gT(h_last, g_alpha_T)
+        grads[idx_ba] = jnp.sum(g_alpha_T, axis=1)[None, :]
+        g_h = _dot(g_feat.astype(cd), ops[idx_wf].T) + gT_dot(
+            g_alpha_T, ops[idx_wa]
+        )
+    else:
+        g_alpha = g[:, 3:4]
+        grads[idx_wa] = _dot_t(h_last, g_alpha, cd)
+        grads[idx_ba] = jnp.sum(g_alpha, axis=0, keepdims=True)
+        g_h = (_dot(g_feat.astype(cd), ops[idx_wf].T)
+               + _dot(g_alpha.astype(cd), ops[idx_wa].T))
     for i in reversed(range(net_depth)):
         d = layer_idx[i]
         g_pre = g_h * relu_mask(r["acts"][i])
@@ -354,6 +413,15 @@ def _pad_rows(x, n):
     if pad <= 0:
         return x
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def _pad_cols(x, n):
+    pad = n - x.shape[1]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], pad), x.dtype)], 1
+    )
 
 
 def _whole(w):
@@ -409,6 +477,52 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
         interpret=interpret,
     )(pts_p, views_p, *ops)
     return out[:n, :4]
+
+
+def _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips, multires,
+                  multires_views, tile, interpret, compute_dtype):
+    """Transposed point-stream forward: pts/views [3, N] -> out [4, N].
+
+    The row-major [N, 3] / [N, 4] arrays pad 3-4 lanes to 128 in HBM
+    (T(8,128) tiling), a ~42x traffic blowup on every producer/consumer;
+    the [3, N] / [4, N] orientation pads sublanes 3->8 only."""
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_aligned(weights, net_depth, skips, multires,
+                          multires_views, compute_dtype)
+    n = pts_T.shape[1]
+    n_pad = -(-n // tile) * tile
+    pts_p = _pad_cols(pts_T, n_pad)
+    views_p = _pad_cols(views_T, n_pad)
+    grid = (n_pad // tile,)
+
+    def kernel(pts_ref, views_ref, *refs):
+        *op_refs, out_ref = refs
+        vals = [r[:] for r in op_refs]
+        out, _ = _aligned_forward(
+            pts_ref[:], views_ref[:], vals, net_depth=net_depth,
+            skips=tuple(skips), compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        out_ref[:] = out
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [_whole(w) for w in ops],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(pts_p, views_p, *ops)
+    return out[:, :n]
 
 
 def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
@@ -480,6 +594,77 @@ def _bwd_pallas(weights, pts, views, g, net_depth, skips, multires,
     )(pts_p, views_p, g_p, *ops)
 
     # Scatter the aligned grads back into the torch weight layout.
+    aligned_grads = [None, None] + list(grads)
+    return _recombine_grads(aligned_grads, weights, net_depth, skips,
+                            multires, multires_views)
+
+
+def _bwd_pallas_T(weights, pts_T, views_T, g_T, net_depth, skips, multires,
+                  multires_views, tile, interpret, compute_dtype):
+    """Transposed-stream backward: pts/views [3, N], g [4, N]."""
+    interpret = fm.auto_interpret(interpret)
+    ops = prepare_aligned(weights, net_depth, skips, multires,
+                          multires_views, compute_dtype)
+    n = pts_T.shape[1]
+    n_pad = -(-n // tile) * tile
+    pts_p = _pad_cols(pts_T, n_pad)
+    views_p = _pad_cols(views_T, n_pad)
+    g_p = _pad_cols(g_T, n_pad)
+    grid = (n_pad // tile,)
+    trainable = list(range(2, len(ops)))
+
+    def kernel(pts_ref, views_ref, g_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_refs = refs[len(ops): len(ops) + len(trainable)]
+        acc_refs = refs[len(ops) + len(trainable):]
+        vals = [r[:] for r in op_refs]
+        tile_grads = _aligned_backward(
+            g_ref[:], pts_ref[:], views_ref[:], vals,
+            net_depth=net_depth, skips=tuple(skips),
+            compute_dtype=compute_dtype, transposed=True,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, o_ref) in enumerate(zip(acc_refs, out_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, o_ref=o_ref):
+                o_ref[:] = a_ref[:]
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [_whole(w) for w in ops],
+        out_specs=tuple(_whole(ops[t]) for t in trainable),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(pts_p, views_p, g_p, *ops)
+
     aligned_grads = [None, None] + list(grads)
     return _recombine_grads(aligned_grads, weights, net_depth, skips,
                             multires, multires_views)
@@ -569,6 +754,60 @@ def _vjp_bwd(net_depth, skips, multires, multires_views, tile, interpret,
 
 
 fused_mlp_v2_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+)
+def fused_mlp_v2_train_T(
+    weights: Sequence[jnp.ndarray],
+    pts_T: jnp.ndarray,
+    views_T: jnp.ndarray,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+    fwd_tile: int | None = None,
+):
+    """Transposed-stream differentiable fused MLP: pts/views [3, N] in,
+    raw [4, N] out (cotangent arrives [4, N] too). Same math as
+    fused_mlp_v2_train; preferred in the train step because the [N, 3/4]
+    orientation pads to 128 lanes in HBM (~42x traffic) on every
+    producer and consumer, while [3/4, N] pads sublanes only.
+
+    tile sizes the backward grid (VMEM-bound: weights + fp32 grad
+    accumulators + recomputed activations resident); fwd_tile (default
+    tile) sizes the forward grid independently — the forward holds only
+    one tile of activations, so larger tiles pipeline the MXU better."""
+    return _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips,
+                         multires, multires_views, fwd_tile or tile,
+                         interpret, compute_dtype)
+
+
+def _vjp_fwd_T(weights, pts_T, views_T, net_depth, skips, multires,
+               multires_views, tile, interpret, compute_dtype, fwd_tile):
+    out = _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips,
+                        multires, multires_views, fwd_tile or tile,
+                        interpret, compute_dtype)
+    return out, (weights, pts_T, views_T)
+
+
+def _vjp_bwd_T(net_depth, skips, multires, multires_views, tile, interpret,
+               compute_dtype, fwd_tile, residuals, g):
+    weights, pts_T, views_T = residuals
+    d_weights = _bwd_pallas_T(
+        weights, pts_T, views_T, g, net_depth, skips, multires,
+        multires_views, tile, interpret, compute_dtype,
+    )
+    return (tuple(d_weights), jnp.zeros_like(pts_T),
+            jnp.zeros_like(views_T))
+
+
+fused_mlp_v2_train_T.defvjp(_vjp_fwd_T, _vjp_bwd_T)
 
 
 @functools.partial(

@@ -45,6 +45,10 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
 
     kind = getattr(cfg, "fused_kernel", "v2")
     if kind == "v2":
+        from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2_train_T
+
+        base = fused_mlp_v2_train_T
+    elif kind == "v2row":
         from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2_train
 
         base = fused_mlp_v2_train
@@ -58,6 +62,9 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         base = hybrid_mlp_train
     else:
         base = fused_mlp_train
+    extra = {}
+    if kind == "v2" and getattr(cfg, "fused_fwd_tile", 0):
+        extra["fwd_tile"] = cfg.fused_fwd_tile
     kern = functools.partial(
         base,
         net_depth=cfg.netdepth,
@@ -67,21 +74,39 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         tile=tile,
         interpret=interpret,
         compute_dtype=jnp.dtype(cfg.compute_dtype).type,
+        **extra,
     )
 
+    transposed = kind == "v2"
+
     def eval_level(branch, z_vals):
+        s = z_vals.shape[1]
+        ws = _weights_tuple(params, branch, cfg.netdepth)
+        if transposed:
+            # [3, N, S] point stream: S rides the lane axis, so nothing
+            # in the chain pays the [N, 3]-pads-to-128-lanes tax.
+            pts_T = (
+                origins.T[:, :, None]
+                + directions.T[:, :, None] * z_vals[None, :, :]
+            )
+            views_T = jnp.broadcast_to(
+                viewdirs.T[:, :, None], (3, n, s)
+            ).reshape(3, n * s)
+            raw_T = kern(ws, pts_T.reshape(3, n * s), views_T)
+            return raw_T.reshape(4, n, s)
         pts = (
             origins[..., None, :]
             + directions[..., None, :] * z_vals[..., :, None]
         )
-        s = pts.shape[1]
         pts_flat = pts.reshape(n * s, 3)
         views_flat = jnp.broadcast_to(
             viewdirs[:, None, :], (n, s, 3)
         ).reshape(n * s, 3)
-        ws = _weights_tuple(params, branch, cfg.netdepth)
         raw = kern(ws, pts_flat, views_flat)
         return raw.reshape(n, s, 4)
+
+    raw2out = rendering.raw2outputs_T if transposed else \
+        rendering.raw2outputs
 
     t_rand = None
     if rng is not None and cfg.perturb > 0:
@@ -92,7 +117,7 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         near, far, cfg.N_samples, cfg.lindisp, t_rand
     )
     raw = eval_level("coarse", z_vals)
-    rgb, disp, acc, weights, depth = rendering.raw2outputs(
+    rgb, disp, acc, weights, depth = raw2out(
         raw, z_vals, directions, None, cfg.white_bkgd
     )
 
@@ -110,7 +135,7 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
         raw = eval_level("fine", z_all)
-        rgb, disp, acc, weights, depth = rendering.raw2outputs(
+        rgb, disp, acc, weights, depth = raw2out(
             raw, z_all, directions, None, cfg.white_bkgd
         )
         out["z_std"] = jnp.std(z_samples, axis=-1)

@@ -174,3 +174,34 @@ def test_v2_forward_only_entry():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_v2_transposed_forward_and_grads():
+    """fused_mlp_v2_train_T ([3,N]/[4,N] streams) == oracle + jax.grad."""
+    weights, pts, views, cfg = _setup()
+
+    got = v2.fused_mlp_v2_train_T(
+        weights, pts.T, views.T, cfg["net_depth"], tuple(cfg["skips"]),
+        cfg["multires"], cfg["multires_views"], 32, True,
+    )
+    expected = _oracle(weights, pts, views, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected).T,
+                               atol=2e-4, rtol=2e-4)
+
+    def loss_t(ws):
+        out = v2.fused_mlp_v2_train_T(
+            ws, pts.T, views.T, cfg["net_depth"], tuple(cfg["skips"]),
+            cfg["multires"], cfg["multires_views"], 32, True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_oracle(ws):
+        return jnp.sum(jnp.sin(_oracle(ws, pts, views, cfg)))
+
+    g_t = jax.grad(loss_t)(weights)
+    g_or = jax.grad(loss_oracle)(weights)
+    for i, (a, b) in enumerate(zip(g_t, g_or)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"weight {i}",
+        )

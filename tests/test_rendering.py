@@ -121,3 +121,25 @@ def test_volumetric_rendering_white_background():
         jnp.ones((N, S)),
     )
     np.testing.assert_allclose(np.asarray(out["rgb"]), 1.0, atol=1e-6)
+
+
+def test_raw2outputs_T_matches_row_major():
+    """raw2outputs_T([4,N,S]) == raw2outputs([N,S,4]) bitwise-close."""
+    import jax
+    import jax.numpy as jnp
+
+    from consistentnerf_tpu.core import rendering
+
+    key = jax.random.PRNGKey(3)
+    n, s = 17, 9
+    raw = jax.random.normal(key, (n, s, 4))
+    z_vals = jnp.sort(jax.random.uniform(key, (n, s)) * 4 + 2, axis=-1)
+    rays_d = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+    for white in (False, True):
+        ref = rendering.raw2outputs(raw, z_vals, rays_d, None, white)
+        got = rendering.raw2outputs_T(
+            jnp.transpose(raw, (2, 0, 1)), z_vals, rays_d, None, white
+        )
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)

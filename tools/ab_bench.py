@@ -95,15 +95,13 @@ def build_variant(name, scene, batch):
     elif name == "fused_bf16_t1024":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
                            fused_kernel="v1")
-    elif name == "v2_bf16_t512":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
-                           fused_kernel="v2")
-    elif name == "v2_bf16_t1024":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
-                           fused_kernel="v2")
-    elif name == "v2_bf16_t2048":
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=2048,
-                           fused_kernel="v2")
+    elif name.startswith("v2_bf16_t"):
+        # v2_bf16_t<bwd_tile>[_f<fwd_tile>]
+        spec = name[len("v2_bf16_t"):].split("_f")
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=int(spec[0]),
+                           fused_kernel="v2",
+                           fused_fwd_tile=int(spec[1]) if len(spec) > 1
+                           else 0)
     elif name == "hybrid_bf16_t512":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
                            fused_kernel="hybrid")
