@@ -72,6 +72,10 @@ def bench_train() -> dict:
         white_bkgd=True,
         use_tensorboard=False,
         compute_dtype="bfloat16",
+        # Fused transposed-stream Pallas step: wins its A/B vs the XLA
+        # step on v5e (59.6 vs 86.0 ms, tools/ab_bench.py).
+        use_fused_train=True,
+        fused_tile=1024,
     )
     scene = _scene()
     mesh = create_mesh()
@@ -133,6 +137,10 @@ def bench_render() -> dict:
         backbone="vanilla", N_samples=64, N_importance=128,
         white_bkgd=True, use_tensorboard=False, compute_dtype="bfloat16",
         render_chunk_size=8192,
+        # Fused bf16 render wins its A/B vs the XLA render path on v5e
+        # (95.2 vs 115.0 ms/image, tools/ab_bench.py).
+        use_fused_render=True,
+        fused_tile=1024,
     )
     scene = _scene()
     model = make_model(cfg)

@@ -54,6 +54,52 @@ def resolve_config(args) -> Config:
     return cfg
 
 
+def auto_fused_defaults(cfg: Config, args) -> Config:
+    """Enable the fused Pallas paths on real accelerators by default.
+
+    v5e A/Bs (tools/ab_bench.py): the fused transposed-stream train step
+    beats the XLA step 59.6 vs 86.0 ms on the flagship config, and the
+    fused bf16 render beats the XLA render 95.2 vs 115.0 ms/image. On
+    CPU the kernels run in slow interpret mode, so the default is
+    platform-dependent. Explicit --set / config-file keys always win.
+
+    Fused render is only auto-enabled when the config already computes
+    in bfloat16 (the fp32 fused render loses its A/B, and fp32 eval is
+    the reference-parity default).
+    """
+    explicit = {o.split("=")[0].strip() for o in args.overrides}
+    if getattr(args, "config", None):
+        import json
+
+        with open(args.config) as f:
+            explicit |= set(json.load(f))
+    import jax
+
+    import jax.numpy as jnp
+
+    eligible = (
+        jax.default_backend() != "cpu"
+        and cfg.backbone == "vanilla"
+        and cfg.use_viewdirs
+        and not cfg.use_noise
+        and 3 * cfg.multires <= 60
+        and 3 * cfg.multires_views <= 60
+    )
+    if not eligible:
+        return cfg
+    updates = {}
+    if "use_fused_train" not in explicit and not cfg.use_fused_train:
+        updates["use_fused_train"] = True
+        if "fused_tile" not in explicit:
+            updates["fused_tile"] = 1024
+    if ("use_fused_render" not in explicit and not cfg.use_fused_render
+            and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16):
+        updates["use_fused_render"] = True
+        if "fused_tile" not in explicit and "fused_tile" not in updates:
+            updates["fused_tile"] = 1024
+    return cfg.replace(**updates) if updates else cfg
+
+
 def setup_experiment_dir(cfg: Config) -> str:
     """Create basedir/expname and dump the resolved config (the reference
     dumps args.txt + config.txt, run_nerf_view.py:977-989)."""

@@ -60,6 +60,7 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
     cfg = common.resolve_config(args)
+    cfg = common.auto_fused_defaults(cfg, args)
     exp_dir = os.path.join(cfg.basedir, cfg.expname)
 
     from consistentnerf_tpu.data.loaders import load_scene

@@ -299,6 +299,74 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype,
     return out, res
 
 
+def _op_walk(ops, net_depth, skips):
+    """Static walk of the aligned operand list -> named index maps."""
+    pe_layers = _pe_layers(net_depth, skips)
+    it = iter(range(len(ops)))
+    idx = dict(F=next(it), Fv=next(it))
+    layers = []
+    for i in range(net_depth):
+        d = {}
+        if i in pe_layers:
+            if i != 0:
+                d["wh"] = next(it)
+            d["wsc"] = next(it)
+        else:
+            d["wh"] = next(it)
+        d["b"] = next(it)
+        layers.append(d)
+    for k in ("wa", "ba", "wf", "bf", "wvh", "wvsc", "bv", "wr", "br"):
+        idx[k] = next(it)
+    return idx, layers
+
+
+def _aligned_forward_streams(pts_chunks, views_chunks, ops, *, net_depth,
+                             skips, compute_dtype):
+    """Transposed forward over several independent column chunks with the
+    LAYER loop outermost, so adjacent matmuls belong to different chunks
+    and carry no data dependency — the single-chain forward otherwise
+    leaves the MXUs latency-bound. Returns the list of [4, chunk] outs."""
+    cd = compute_dtype
+    idx, layers = _op_walk(ops, net_depth, skips)
+    F, Fv = ops[idx["F"]], ops[idx["Fv"]]
+    nc = len(pts_chunks)
+
+    def dot0(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    bias = _phase_bias()
+    sc = [jnp.sin(dot0(p.astype(jnp.float32), F) + bias).astype(cd)
+          for p in pts_chunks]
+    h = [None] * nc
+    for d in layers:
+        pre = [None] * nc
+        if "wh" in d:
+            for c in range(nc):
+                pre[c] = _dot(h[c], ops[d["wh"]])
+        if "wsc" in d:
+            for c in range(nc):
+                contrib = _dot(sc[c], ops[d["wsc"]])
+                pre[c] = contrib if pre[c] is None else pre[c] + contrib
+        for c in range(nc):
+            h[c] = jnp.maximum(pre[c] + ops[d["b"]], 0.0).astype(cd)
+
+    alpha = [_dot(h[c], ops[idx["wa"]]) + ops[idx["ba"]]
+             for c in range(nc)]
+    feat = [(_dot(h[c], ops[idx["wf"]]) + ops[idx["bf"]]).astype(cd)
+            for c in range(nc)]
+    vsc = [jnp.sin(dot0(v.astype(jnp.float32), Fv) + bias).astype(cd)
+           for v in views_chunks]
+    hv = [jnp.maximum(
+        _dot(feat[c], ops[idx["wvh"]]) + _dot(vsc[c], ops[idx["wvsc"]])
+        + ops[idx["bv"]], 0.0).astype(cd) for c in range(nc)]
+    rgb = [_dot(hv[c], ops[idx["wr"]]) + ops[idx["br"]] for c in range(nc)]
+    return [jnp.concatenate([rgb[c], alpha[c]], axis=-1).T
+            for c in range(nc)]
+
+
 def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
                       compute_dtype, transposed=False):
     """Recompute forward, return grads for the ALIGNED operand list
@@ -480,12 +548,16 @@ def _fwd_pallas(weights, pts, views, net_depth, skips, multires,
 
 
 def _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips, multires,
-                  multires_views, tile, interpret, compute_dtype):
+                  multires_views, tile, interpret, compute_dtype,
+                  streams: int = 1):
     """Transposed point-stream forward: pts/views [3, N] -> out [4, N].
 
     The row-major [N, 3] / [N, 4] arrays pad 3-4 lanes to 128 in HBM
     (T(8,128) tiling), a ~42x traffic blowup on every producer/consumer;
-    the [3, N] / [4, N] orientation pads sublanes 3->8 only."""
+    the [3, N] / [4, N] orientation pads sublanes 3->8 only.
+
+    streams > 1: interleave that many independent column chunks per tile
+    (see _aligned_forward_streams)."""
     interpret = fm.auto_interpret(interpret)
     ops = prepare_aligned(weights, net_depth, skips, multires,
                           multires_views, compute_dtype)
@@ -494,16 +566,29 @@ def _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips, multires,
     pts_p = _pad_cols(pts_T, n_pad)
     views_p = _pad_cols(views_T, n_pad)
     grid = (n_pad // tile,)
+    chunk = tile // streams
 
     def kernel(pts_ref, views_ref, *refs):
         *op_refs, out_ref = refs
         vals = [r[:] for r in op_refs]
-        out, _ = _aligned_forward(
-            pts_ref[:], views_ref[:], vals, net_depth=net_depth,
-            skips=tuple(skips), compute_dtype=compute_dtype,
-            transposed=True,
-        )
-        out_ref[:] = out
+        if streams == 1:
+            out, _ = _aligned_forward(
+                pts_ref[:], views_ref[:], vals, net_depth=net_depth,
+                skips=tuple(skips), compute_dtype=compute_dtype,
+                transposed=True,
+            )
+            out_ref[:] = out
+        else:
+            sls = [slice(s * chunk, (s + 1) * chunk)
+                   for s in range(streams)]
+            outs = _aligned_forward_streams(
+                [pts_ref[:, sl] for sl in sls],
+                [views_ref[:, sl] for sl in sls],
+                vals, net_depth=net_depth, skips=tuple(skips),
+                compute_dtype=compute_dtype,
+            )
+            for sl, o in zip(sls, outs):
+                out_ref[:, sl] = o
 
     out = pl.pallas_call(
         kernel,
@@ -758,7 +843,7 @@ fused_mlp_v2_train.defvjp(_vjp_fwd, _vjp_bwd)
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
 )
 def fused_mlp_v2_train_T(
     weights: Sequence[jnp.ndarray],
@@ -772,6 +857,7 @@ def fused_mlp_v2_train_T(
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
     fwd_tile: int | None = None,
+    fwd_streams: int = 1,
 ):
     """Transposed-stream differentiable fused MLP: pts/views [3, N] in,
     raw [4, N] out (cotangent arrives [4, N] too). Same math as
@@ -785,19 +871,20 @@ def fused_mlp_v2_train_T(
     one tile of activations, so larger tiles pipeline the MXU better."""
     return _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips,
                          multires, multires_views, fwd_tile or tile,
-                         interpret, compute_dtype)
+                         interpret, compute_dtype, fwd_streams)
 
 
 def _vjp_fwd_T(weights, pts_T, views_T, net_depth, skips, multires,
-               multires_views, tile, interpret, compute_dtype, fwd_tile):
+               multires_views, tile, interpret, compute_dtype, fwd_tile,
+               fwd_streams):
     out = _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips,
                         multires, multires_views, fwd_tile or tile,
-                        interpret, compute_dtype)
+                        interpret, compute_dtype, fwd_streams)
     return out, (weights, pts_T, views_T)
 
 
 def _vjp_bwd_T(net_depth, skips, multires, multires_views, tile, interpret,
-               compute_dtype, fwd_tile, residuals, g):
+               compute_dtype, fwd_tile, fwd_streams, residuals, g):
     weights, pts_T, views_T = residuals
     d_weights = _bwd_pallas_T(
         weights, pts_T, views_T, g, net_depth, skips, multires,

@@ -56,28 +56,46 @@ def fused_render_rays(
     viewdirs = rays.viewdirs
     n = origins.shape[0]
 
-    if kernel == "v2":
-        from consistentnerf_tpu.ops.fused_mlp_v2 import fused_mlp_v2
+    transposed = kernel in ("v2", "v2h", "v2row")
+    if transposed:
+        from consistentnerf_tpu.ops import fused_mlp_v2 as v2
 
-        base = fused_mlp_v2
+        def kern(mlp_params, pts_T, views_T):
+            weights = [jnp.asarray(w) for w in
+                       fm.flatten_params(mlp_params, True, net_depth)]
+            weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+            return v2._fwd_pallas_T(
+                weights, pts_T, views_T, net_depth, (4,), multires,
+                multires_views, tile, interpret, compute_dtype,
+            )
+
     else:
-        base = fm.fused_mlp
-    kern = functools.partial(
-        base,
-        net_depth=net_depth,
-        multires=multires,
-        multires_views=multires_views,
-        tile=tile,
-        interpret=interpret,
-        compute_dtype=compute_dtype,
-    )
+        kern = functools.partial(
+            fm.fused_mlp,
+            net_depth=net_depth,
+            multires=multires,
+            multires_views=multires_views,
+            tile=tile,
+            interpret=interpret,
+            compute_dtype=compute_dtype,
+        )
 
     def eval_level(mlp_params, z_vals):
+        s = z_vals.shape[1]
+        if transposed:
+            pts_T = (
+                origins.T[:, :, None]
+                + directions.T[:, :, None] * z_vals[None, :, :]
+            )
+            views_T = jnp.broadcast_to(
+                viewdirs.T[:, :, None], (3, n, s)
+            ).reshape(3, n * s)
+            raw_T = kern(mlp_params, pts_T.reshape(3, n * s), views_T)
+            return raw_T.reshape(4, n, s)
         pts = (
             origins[..., None, :]
             + directions[..., None, :] * z_vals[..., :, None]
         )
-        s = pts.shape[1]
         pts_flat = pts.reshape(n * s, 3)
         views_flat = jnp.broadcast_to(
             viewdirs[:, None, :], (n, s, 3)
@@ -85,11 +103,14 @@ def fused_render_rays(
         raw = kern(mlp_params, pts_flat, views_flat)
         return raw.reshape(n, s, 4)
 
+    raw2out = rendering.raw2outputs_T if transposed else \
+        rendering.raw2outputs
+
     z_vals = sampling.vanilla_z_vals(
         rays.near, rays.far, num_samples, lindisp, None
     )
     raw = eval_level(coarse_p, z_vals)
-    rgb, disp, acc, weights, depth = rendering.raw2outputs(
+    rgb, disp, acc, weights, depth = raw2out(
         raw, z_vals, directions, None, white_bkgd
     )
 
@@ -102,7 +123,7 @@ def fused_render_rays(
         )
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
         raw = eval_level(fine_p, z_all)
-        rgb, disp, acc, weights, depth = rendering.raw2outputs(
+        rgb, disp, acc, weights, depth = raw2out(
             raw, z_all, directions, None, white_bkgd
         )
     out.update(rgb=rgb, disp=disp, acc=acc, depth=depth)

@@ -65,6 +65,8 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
     extra = {}
     if kind == "v2" and getattr(cfg, "fused_fwd_tile", 0):
         extra["fwd_tile"] = cfg.fused_fwd_tile
+    if kind == "v2" and getattr(cfg, "fused_fwd_streams", 1) > 1:
+        extra["fwd_streams"] = cfg.fused_fwd_streams
     kern = functools.partial(
         base,
         net_depth=cfg.netdepth,

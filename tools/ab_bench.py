@@ -96,12 +96,18 @@ def build_variant(name, scene, batch):
         cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
                            fused_kernel="v1")
     elif name.startswith("v2_bf16_t"):
-        # v2_bf16_t<bwd_tile>[_f<fwd_tile>]
-        spec = name[len("v2_bf16_t"):].split("_f")
-        cfg = flagship_cfg(use_fused_train=True, fused_tile=int(spec[0]),
+        # v2_bf16_t<bwd_tile>[_f<fwd_tile>][_s<fwd_streams>]
+        spec = name[len("v2_bf16_t"):]
+        streams = 1
+        if "_s" in spec:
+            spec, s_str = spec.split("_s")
+            streams = int(s_str)
+        parts = spec.split("_f")
+        cfg = flagship_cfg(use_fused_train=True, fused_tile=int(parts[0]),
                            fused_kernel="v2",
-                           fused_fwd_tile=int(spec[1]) if len(spec) > 1
-                           else 0)
+                           fused_fwd_tile=int(parts[1]) if len(parts) > 1
+                           else 0,
+                           fused_fwd_streams=streams)
     elif name == "hybrid_bf16_t512":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
                            fused_kernel="hybrid")
@@ -194,6 +200,72 @@ def run_train_variants(names):
             rays_per_sec=round(n_rays / ms, 0),
             fwd_rgb_err_vs_xla=round(err, 5),
             fwd_depth_err_vs_xla=round(derr, 5),
+            final_loss=round(loss, 5),
+            total_wall_s=round(time.time() - t_start, 1),
+        )
+        print(name, json.dumps(results[name]), flush=True)
+    return results
+
+
+def mip_cfg(**kw):
+    from consistentnerf_tpu.configs import Config
+
+    base = dict(
+        backbone="mipnerf",
+        mip_num_samples=96,
+        mip_num_levels=2,
+        N_rand=4096 - 4 * 256,
+        disable_normals=True,
+        white_bkgd=True,
+        use_tensorboard=False,
+        compute_dtype="bfloat16",
+        use_hardmask=True,
+        compute_depth_metrics=True,
+        compute_mono_depth_metrics=True,
+        dataset_type="blender",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def run_mip_variants(names):
+    """mip-backbone train step A/B: mip_xla, mip_fused[_t<tile>]."""
+    import jax
+
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
+    results = {}
+    for name in names:
+        t_start = time.time()
+        if name == "mip_xla":
+            cfg = mip_cfg()
+        elif name.startswith("mip_fused"):
+            tile = int(name.split("_t")[-1]) if "_t" in name else 1024
+            cfg = mip_cfg(use_fused_train=True, fused_tile=tile)
+        else:
+            raise ValueError(name)
+        model = make_model(cfg)
+        batcher = MipBatcher(scene, cfg)
+        batch = batcher.next_batch()
+        n_rays = batch["rgb"].shape[0]
+        state = loop_lib.init_state(cfg, model, batch)
+        if cfg.use_fused_train:
+            from consistentnerf_tpu.ops.fused_train import (
+                build_fused_mip_train_step,
+            )
+
+            ts = build_fused_mip_train_step(cfg, donate=False)
+        else:
+            ts = step_lib.build_train_step(model, cfg, donate=False)
+        ms, loss = time_variant(name, state, ts, batch)
+        results[name] = dict(
+            ms_per_step=round(ms * 1e3, 2),
+            rays_per_sec=round(n_rays / ms, 0),
             final_loss=round(loss, 5),
             total_wall_s=round(time.time() - t_start, 1),
         )
@@ -667,8 +739,10 @@ def main():
     setup_jax()
     args = sys.argv[1:] or ["xla", "fused_fp32", "fused_bf16",
                             "fused_bf16_t512"]
+    mip_names = [a for a in args if a.startswith("mip_")]
     train_names = [a for a in args
-                   if not a.startswith(("render", "k_", "c_", "fwd_"))]
+                   if not a.startswith(("render", "k_", "c_", "fwd_",
+                                        "mip_"))]
     render_names = [a for a in args if a.startswith("render")]
     fwd_names = [a for a in args if a.startswith("fwd_")]
     kernel_names = [a for a in args
@@ -676,6 +750,8 @@ def main():
     out = {}
     if train_names:
         out.update(run_train_variants(train_names))
+    if mip_names:
+        out.update(run_mip_variants(mip_names))
     if fwd_names:
         out.update(run_fwd_variants(fwd_names))
     if render_names:
