@@ -191,6 +191,10 @@ def bench_mip() -> dict:
         compute_depth_metrics=True,
         compute_mono_depth_metrics=True,
         dataset_type="blender",
+        # Transposed fused mip step: 36.2 vs 46.4 ms XLA on v5e
+        # (tools/ab_bench.py mip_xla vs mip_fused).
+        use_fused_train=True,
+        fused_tile=1024,
     )
     scene = _scene()
     mesh = create_mesh()
@@ -199,7 +203,9 @@ def bench_mip() -> dict:
     batch = batcher.next_batch()
     n_rays = batch["rgb"].shape[0]
     state = loop_lib.init_state(cfg, model, batch)
-    train_step = step_lib.build_train_step(model, cfg)
+    from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
+
+    train_step = build_fused_mip_train_step(cfg)
     key = jax.random.PRNGKey(0)
     sharded = shard_batch(batch, mesh)
     state, stats = train_step(state, sharded, key)

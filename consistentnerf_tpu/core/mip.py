@@ -8,8 +8,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def lift_gaussian(d, t_mean, t_var, r_var, diag: bool):
-    """Lift a 1-D Gaussian along a ray into 3D (mip.py:51-71)."""
+def lift_gaussian(d, t_mean, t_var, r_var, diag: bool,
+                  transposed: bool = False):
+    """Lift a 1-D Gaussian along a ray into 3D (mip.py:51-71).
+
+    transposed=True (diag only): emit means/covs as [3, N, S] instead of
+    [N, S, 3] — the row-major orientation pads 3 lanes to 128 in HBM
+    (T(8,128) tiling, ~42x traffic) on every consumer; the transposed
+    stream keeps S on the lane axis and feeds the fused kernels."""
+    if transposed:
+        assert diag, "transposed lift_gaussian supports diag only"
+        dT = d.T  # [3, N]
+        mean_T = dT[:, :, None] * t_mean[None, :, :]
+        d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1))  # [N]
+        d_outer_diag_T = dT**2
+        null_outer_diag_T = 1 - d_outer_diag_T / d_mag_sq[None, :]
+        t_cov_T = t_var[None, :, :] * d_outer_diag_T[:, :, None]
+        xy_cov_T = r_var[None, :, :] * null_outer_diag_T[:, :, None]
+        return mean_T, t_cov_T + xy_cov_T
     mean = d[..., None, :] * t_mean[..., None]
 
     d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
@@ -28,7 +44,9 @@ def lift_gaussian(d, t_mean, t_var, r_var, diag: bool):
     return mean, t_cov + xy_cov
 
 
-def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, stable: bool = True):
+def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag,
+                                stable: bool = True,
+                                transposed: bool = False):
     """Approximate a conical frustum as a Gaussian (mip.py:74-108)."""
     if stable:
         mu = (t0 + t1) / 2
@@ -44,19 +62,24 @@ def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, stable: bool = Tru
         t_mosq = 3 / 5 * (t1**5 - t0**5) / (t1**3 - t0**3)
         t_var = t_mosq - t_mean**2
     r_var = r_var * base_radius**2
-    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+    return lift_gaussian(d, t_mean, t_var, r_var, diag,
+                         transposed=transposed)
 
 
-def cylinder_to_gaussian(d, t0, t1, radius, diag):
+def cylinder_to_gaussian(d, t0, t1, radius, diag, transposed: bool = False):
     """Approximate a cylinder as a Gaussian (mip.py:111-130)."""
     t_mean = (t0 + t1) / 2
     r_var = radius**2 / 4
     t_var = (t1 - t0) ** 2 / 12
-    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+    return lift_gaussian(d, t_mean, t_var, r_var, diag,
+                         transposed=transposed)
 
 
-def cast_rays(t_vals, origins, directions, radii, ray_shape: str, diag: bool = True):
-    """Featurize ray sections between fenceposts t_vals (mip.py:133-157)."""
+def cast_rays(t_vals, origins, directions, radii, ray_shape: str,
+              diag: bool = True, transposed: bool = False):
+    """Featurize ray sections between fenceposts t_vals (mip.py:133-157).
+
+    transposed=True: means/covs come back [3, N, S] (see lift_gaussian)."""
     t0 = t_vals[..., :-1]
     t1 = t_vals[..., 1:]
     if ray_shape == "cone":
@@ -65,6 +88,10 @@ def cast_rays(t_vals, origins, directions, radii, ray_shape: str, diag: bool = T
         gaussian_fn = cylinder_to_gaussian
     else:
         raise ValueError(f"ray_shape must be cone|cylinder, got {ray_shape!r}")
-    means, covs = gaussian_fn(directions, t0, t1, radii, diag)
-    means = means + origins[..., None, :]
+    means, covs = gaussian_fn(directions, t0, t1, radii, diag,
+                              transposed=transposed)
+    if transposed:
+        means = means + origins.T[:, :, None]
+    else:
+        means = means + origins[..., None, :]
     return means, covs

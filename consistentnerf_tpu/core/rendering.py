@@ -142,11 +142,21 @@ def volumetric_rendering(
     vis_num_rays: int,
     compute_extras: bool,
     delta,
+    rgbs_T=None,
 ):
-    """mip-NeRF rendering dict (mip.py:211-294)."""
+    """mip-NeRF rendering dict (mip.py:211-294).
+
+    rgbs_T (optional): the per-sample colors as a TRANSPOSED [3, N, S]
+    stream instead of `rgbs` [N, S, 3]; avoids materializing the
+    lane-padded row-major array (the fused kernels emit [3, N, S]).
+    Pass rgbs=None with it; the extras' ray_rgbs visualization slices
+    are transposed back after slicing (vis_num_rays rows only)."""
     t_mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
 
-    rgb = (weights[..., None] * rgbs).sum(axis=-2)
+    if rgbs_T is not None:
+        rgb = jnp.moveaxis((weights[None] * rgbs_T).sum(axis=-1), 0, -1)
+    else:
+        rgb = (weights[..., None] * rgbs).sum(axis=-2)
     acc = weights.sum(axis=-1)
     if white_background:
         rgb = rgb + (1.0 - acc[..., None])
@@ -198,10 +208,16 @@ def volumetric_rendering(
         # Ray-bundle visualizations (vis.py consumes the `ray_*` keys).
         t_vals_flat = t_vals.reshape([-1, t_vals.shape[-1]])
         weights_flat = weights.reshape([-1, weights.shape[-1]])
-        rgbs_flat = rgbs.reshape([-1] + list(rgbs.shape[-2:]))
+        if rgbs_T is not None:
+            s = rgbs_T.shape[-1]
+            rgbs_head = rgbs_T.reshape([3, -1, s])[:, :vis_num_rays, :]
+            rendering_ray_rgbs = jnp.moveaxis(rgbs_head, 0, -1)
+        else:
+            rgbs_flat = rgbs.reshape([-1] + list(rgbs.shape[-2:]))
+            rendering_ray_rgbs = rgbs_flat[:vis_num_rays, :, :]
         rendering["ray_t_vals"] = t_vals_flat[:vis_num_rays, :]
         rendering["ray_weights"] = weights_flat[:vis_num_rays, :]
         rendering["ray_weights_full"] = weights_flat
-        rendering["ray_rgbs"] = rgbs_flat[:vis_num_rays, :, :]
+        rendering["ray_rgbs"] = rendering_ray_rgbs
 
     return rendering

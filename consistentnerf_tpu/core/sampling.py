@@ -138,8 +138,12 @@ def sample_along_rays(
     ray_shape,
     single_jitter,
     diag=True,
+    transposed=False,
 ):
-    """Stratified fencepost sampling + cone casting (mip.py:297-346)."""
+    """Stratified fencepost sampling + cone casting (mip.py:297-346).
+
+    transposed=True: means/covs come back [3, N, S] for the fused
+    transposed-stream kernels (see mip.lift_gaussian)."""
     t_vals = spacing_core.genspace(near, far, num_samples + 1, fn=genspace_fn)
 
     sample_shape = list(origins.shape)[:-1] + [num_samples + 1]
@@ -153,7 +157,8 @@ def sample_along_rays(
         t_vals = spacing_core.stratify(jnp.broadcast_to(t_vals, sample_shape), t_rand)
 
     means, covs = mip_core.cast_rays(
-        t_vals, origins, directions, radii, ray_shape, diag=diag
+        t_vals, origins, directions, radii, ray_shape, diag=diag,
+        transposed=transposed,
     )
     return t_vals, (means, covs)
 
@@ -170,6 +175,7 @@ def resample_along_rays(
     resample_padding,
     single_jitter,
     diag=True,
+    transposed=False,
 ):
     """Blurpool + inverse-CDF resampling for level 2 (mip.py:349-403)."""
     weights_pad = jnp.concatenate(
@@ -186,7 +192,8 @@ def resample_along_rays(
     if stop_grad:
         new_t_vals = jax.lax.stop_gradient(new_t_vals)
     means, covs = mip_core.cast_rays(
-        new_t_vals, origins, directions, radii, ray_shape, diag=diag
+        new_t_vals, origins, directions, radii, ray_shape, diag=diag,
+        transposed=transposed,
     )
     return new_t_vals, (means, covs)
 

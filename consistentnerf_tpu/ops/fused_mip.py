@@ -217,17 +217,32 @@ def _op_index(net_depth, skip_layer):
     return idx, layers, post_skip
 
 
+def _dot0(a, b):
+    """[3, T] x [3, C] contracted over dim 0 -> [T, C] fp32 (the same
+    dim0-dim0 form as the weight-grad matmuls, full-rate on the MXU)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
-                         compute_dtype):
-    """Forward on aligned operands. Returns ([T,4] raw out, residuals)."""
+                         compute_dtype, transposed=False):
+    """Forward on aligned operands. Returns (raw out, residuals).
+
+    transposed=True: means/covs/views arrive [3, T] and the output is
+    [4, T] — the [N, 3]/[N, 4] orientations pad 3-4 lanes to 128 in HBM
+    (~42x traffic on every producer/consumer); [3, N] pads sublanes
+    only. Activations stay row-major [T, C] internally either way."""
     cd = compute_dtype
     idx, layers, _ = _op_index(net_depth, skip_layer)
     F, F2, Fv = ops[idx["F"]], ops[idx["F2"]], ops[idx["Fv"]]
 
     m32 = means.astype(jnp.float32)
     c32 = covs.astype(jnp.float32)
-    p = _dot(m32, F)
-    damp = jnp.exp(-0.5 * _dot(c32, F2))
+    dot_in = _dot0 if transposed else _dot
+    p = dot_in(m32, F)
+    damp = jnp.exp(-0.5 * dot_in(c32, F2))
     sc = (damp * _safe_sin(p + _phase_bias())).astype(cd)
 
     acts = []
@@ -243,7 +258,7 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
     bneck = (_dot(h, ops[idx["wb"]]) + ops[idx["bb"]]).astype(cd)
 
     v32 = views.astype(jnp.float32)
-    vsc = _safe_sin(_dot(v32, Fv) + _phase_bias()).astype(cd)
+    vsc = _safe_sin(dot_in(v32, Fv) + _phase_bias()).astype(cd)
     hv = jnp.maximum(
         _dot(bneck, ops[idx["wvh"]]) + _dot(vsc, ops[idx["wvsc"]])
         + ops[idx["bv"]],
@@ -251,18 +266,21 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
     ).astype(cd)
     rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
     out = jnp.concatenate([rgb, density], axis=-1)
+    if transposed:
+        out = out.T
     res = dict(sc=sc, vsc=vsc, acts=acts, bneck=bneck, hv=hv)
     return out, res
 
 
 def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
-                          skip_layer, compute_dtype):
+                          skip_layer, compute_dtype, transposed=False):
     """Recompute forward; return grads for the aligned operand list
-    (None for the F/F2/Fv constants)."""
+    (None for the F/F2/Fv constants). transposed=True: means/covs/views
+    are [3, T] and g is [4, T]."""
     cd = compute_dtype
     _, r = _mip_aligned_forward(
         means, covs, views, ops, net_depth=net_depth,
-        skip_layer=skip_layer, compute_dtype=cd,
+        skip_layer=skip_layer, compute_dtype=cd, transposed=transposed,
     )
     idx, layers, _ = _op_index(net_depth, skip_layer)
     grads = [None] * len(ops)
@@ -270,12 +288,33 @@ def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
     def relu_mask(a):
         return a.astype(jnp.float32) > 0
 
-    g_rgb = g[:, :3]
-    g_dens = g[:, 3:4]
+    if transposed:
+        def dot_gT(a, gT):  # a [T, M], gT [C, T] -> [M, C] fp32
+            return jax.lax.dot_general(
+                a, gT.astype(cd),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    grads[idx["wr"]] = _dot_t(r["hv"], g_rgb, cd)
-    grads[idx["br"]] = jnp.sum(g_rgb, axis=0, keepdims=True)
-    g_hv = _dot(g_rgb.astype(cd), ops[idx["wr"]].T) * relu_mask(r["hv"])
+        def gT_dot(gT, w):  # gT [C, T], w [M, C] -> [T, M] fp32
+            return jax.lax.dot_general(
+                gT.astype(cd), w,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        g_rgb_T = g[:3]
+        g_dens_T = g[3:4]
+        grads[idx["wr"]] = dot_gT(r["hv"], g_rgb_T)
+        grads[idx["br"]] = jnp.sum(g_rgb_T, axis=1)[None, :]
+        g_hv = gT_dot(g_rgb_T, ops[idx["wr"]]) * relu_mask(r["hv"])
+    else:
+        g_rgb = g[:, :3]
+        grads[idx["wr"]] = _dot_t(r["hv"], g_rgb, cd)
+        grads[idx["br"]] = jnp.sum(g_rgb, axis=0, keepdims=True)
+        g_hv = _dot(g_rgb.astype(cd), ops[idx["wr"]].T) * relu_mask(
+            r["hv"]
+        )
     g_hv_c = g_hv.astype(cd)
     grads[idx["wvh"]] = _dot_t(r["bneck"], g_hv, cd)
     grads[idx["wvsc"]] = _dot_t(r["vsc"], g_hv, cd)
@@ -286,11 +325,18 @@ def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
     h_last = r["acts"][-1]
     grads[idx["wb"]] = _dot_t(h_last, g_bneck, cd)
     grads[idx["bb"]] = jnp.sum(g_bneck, axis=0, keepdims=True)
-    grads[idx["wd"]] = _dot_t(h_last, g_dens, cd)
-    grads[idx["bd"]] = jnp.sum(g_dens, axis=0, keepdims=True)
-
-    g_h = (_dot(g_bneck.astype(cd), ops[idx["wb"]].T)
-           + _dot(g_dens.astype(cd), ops[idx["wd"]].T))
+    if transposed:
+        grads[idx["wd"]] = dot_gT(h_last, g_dens_T)
+        grads[idx["bd"]] = jnp.sum(g_dens_T, axis=1)[None, :]
+        g_h = _dot(g_bneck.astype(cd), ops[idx["wb"]].T) + gT_dot(
+            g_dens_T, ops[idx["wd"]]
+        )
+    else:
+        g_dens = g[:, 3:4]
+        grads[idx["wd"]] = _dot_t(h_last, g_dens, cd)
+        grads[idx["bd"]] = jnp.sum(g_dens, axis=0, keepdims=True)
+        g_h = (_dot(g_bneck.astype(cd), ops[idx["wb"]].T)
+               + _dot(g_dens.astype(cd), ops[idx["wd"]].T))
     for i in reversed(range(net_depth)):
         d = layers[i]
         g_pre = g_h * relu_mask(r["acts"][i])
@@ -471,6 +517,172 @@ def _bwd_pallas(weights, means, covs, views, g, net_depth, skip_layer,
     aligned_grads = [None, None, None] + list(grads)
     return _recombine_mip_grads(aligned_grads, weights, net_depth,
                                 skip_layer, num_freqs, deg_view)
+
+
+def _pad_cols(x, n):
+    pad = n - x.shape[1]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((x.shape[0], pad), x.dtype)], 1)
+
+
+def _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth, skip_layer,
+                  num_freqs, deg_view, tile, interpret, compute_dtype):
+    """Transposed-stream forward: means/covs/views [3, N] -> raw [4, N]."""
+    interpret = fm.auto_interpret(interpret)
+    if not interpret:
+        # Mosaic requires the lane (last) block dim be a multiple of 128.
+        tile = max(128, -(-tile // 128) * 128)
+    ops = prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs,
+                              deg_view, compute_dtype)
+    n = means_T.shape[1]
+    n_pad = -(-n // tile) * tile
+    args = [_pad_cols(x, n_pad) for x in (means_T, covs_T, views_T)]
+    grid = (n_pad // tile,)
+
+    def kernel(m_ref, c_ref, v_ref, *refs):
+        *op_refs, out_ref = refs
+        vals = [r[:] for r in op_refs]
+        out, _ = _mip_aligned_forward(
+            m_ref[:], c_ref[:], v_ref[:], vals, net_depth=net_depth,
+            skip_layer=skip_layer, compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        out_ref[:] = out
+
+    def _tspec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tspec(3)] * 3 + [_whole(w) for w in ops],
+        out_specs=_tspec(4),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*args, *ops)
+    return out[:, :n]
+
+
+def _bwd_pallas_T(weights, means_T, covs_T, views_T, g_T, net_depth,
+                  skip_layer, num_freqs, deg_view, tile, interpret,
+                  compute_dtype):
+    interpret = fm.auto_interpret(interpret)
+    if not interpret:
+        # Mosaic requires the lane (last) block dim be a multiple of 128.
+        tile = max(128, -(-tile // 128) * 128)
+    ops = prepare_mip_aligned(weights, net_depth, skip_layer, num_freqs,
+                              deg_view, compute_dtype)
+    n = means_T.shape[1]
+    n_pad = -(-n // tile) * tile
+    args = [_pad_cols(x, n_pad) for x in (means_T, covs_T, views_T)]
+    g_p = _pad_cols(g_T, n_pad)
+    grid = (n_pad // tile,)
+    trainable = list(range(3, len(ops)))
+
+    def kernel(m_ref, c_ref, v_ref, g_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_refs = refs[len(ops): len(ops) + len(trainable)]
+        acc_refs = refs[len(ops) + len(trainable):]
+        vals = [r[:] for r in op_refs]
+        tile_grads = _mip_aligned_backward(
+            g_ref[:], m_ref[:], c_ref[:], v_ref[:], vals,
+            net_depth=net_depth, skip_layer=skip_layer,
+            compute_dtype=compute_dtype, transposed=True,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, o_ref) in enumerate(zip(acc_refs, out_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, o_ref=o_ref):
+                o_ref[:] = a_ref[:]
+
+    def _tspec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_tspec(3)] * 3 + [_tspec(4)] + [_whole(w) for w in ops],
+        out_specs=tuple(_whole(ops[t]) for t in trainable),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*args, g_p, *ops)
+
+    aligned_grads = [None, None, None] + list(grads)
+    return _recombine_mip_grads(aligned_grads, weights, net_depth,
+                                skip_layer, num_freqs, deg_view)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10),
+)
+def fused_mip_mlp_train_T(
+    weights: Sequence[jnp.ndarray],
+    means_T: jnp.ndarray,
+    covs_T: jnp.ndarray,
+    views_T: jnp.ndarray,
+    net_depth: int = 8,
+    skip_layer: int = 4,
+    num_freqs: int = 16,
+    deg_view: int = 4,
+    tile: int = TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Transposed-stream differentiable fused MipMLP: means/covs/views
+    [3, N] in, raw [4, N] out. Same math as fused_mip_mlp_train; the
+    [N, 3/4] orientation pads to 128 lanes in HBM (~42x traffic)."""
+    return _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth,
+                         skip_layer, num_freqs, deg_view, tile, interpret,
+                         compute_dtype)
+
+
+def _vjp_fwd_T(weights, means_T, covs_T, views_T, net_depth, skip_layer,
+               num_freqs, deg_view, tile, interpret, compute_dtype):
+    out = _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth,
+                        skip_layer, num_freqs, deg_view, tile, interpret,
+                        compute_dtype)
+    return out, (weights, means_T, covs_T, views_T)
+
+
+def _vjp_bwd_T(net_depth, skip_layer, num_freqs, deg_view, tile, interpret,
+               compute_dtype, residuals, g):
+    weights, means_T, covs_T, views_T = residuals
+    d_weights = _bwd_pallas_T(
+        weights, means_T, covs_T, views_T, g, net_depth, skip_layer,
+        num_freqs, deg_view, tile, interpret, compute_dtype,
+    )
+    return (tuple(d_weights), jnp.zeros_like(means_T),
+            jnp.zeros_like(covs_T), jnp.zeros_like(views_T))
+
+
+fused_mip_mlp_train_T.defvjp(_vjp_fwd_T, _vjp_bwd_T)
 
 
 @functools.partial(

@@ -39,12 +39,18 @@ DEFAULT_TILE = 512
 
 
 def auto_interpret(interpret):
-    """None => interpret on CPU backends (Mosaic only lowers for TPU)."""
+    """None => interpret on CPU backends (Mosaic only lowers for TPU).
+
+    Checked against jax.devices() rather than default_backend(): after a
+    mid-process `jax.config.update("jax_platforms", "cpu")` (the dryrun
+    path under this environment's sitecustomize), default_backend() can
+    still name the accelerator backend while every addressable device is
+    a CPU."""
     if interpret is not None:
         return interpret
     import jax as _jax
 
-    return _jax.default_backend() == "cpu"
+    return all(d.platform == "cpu" for d in _jax.devices())
 
 
 def _posenc(x, num_freqs):

@@ -559,6 +559,9 @@ def _fwd_pallas_T(weights, pts_T, views_T, net_depth, skips, multires,
     streams > 1: interleave that many independent column chunks per tile
     (see _aligned_forward_streams)."""
     interpret = fm.auto_interpret(interpret)
+    if not interpret:
+        # Mosaic requires the lane (last) block dim be a multiple of 128.
+        tile = max(128, -(-tile // 128) * 128)
     ops = prepare_aligned(weights, net_depth, skips, multires,
                           multires_views, compute_dtype)
     n = pts_T.shape[1]
@@ -688,6 +691,9 @@ def _bwd_pallas_T(weights, pts_T, views_T, g_T, net_depth, skips, multires,
                   multires_views, tile, interpret, compute_dtype):
     """Transposed-stream backward: pts/views [3, N], g [4, N]."""
     interpret = fm.auto_interpret(interpret)
+    if not interpret:
+        # Mosaic requires the lane (last) block dim be a multiple of 128.
+        tile = max(128, -(-tile // 128) * 128)
     ops = prepare_aligned(weights, net_depth, skips, multires,
                           multires_views, compute_dtype)
     n = pts_T.shape[1]

@@ -164,6 +164,7 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
     renderings = []
     t_vals = None
     weights_render = None
+    n = rays.origins.shape[0]
     for i_level in range(cfg.mip_num_levels):
         if rng is None:
             key = None
@@ -174,30 +175,34 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
                 key, rays.origins, rays.directions, rays.radii,
                 cfg.mip_num_samples, rays.near, rays.far,
                 cfg.genspace_fn, cfg.ray_shape, cfg.single_jitter,
+                transposed=True,
             )
         else:
             t_vals, samples = sampling.resample_along_rays(
                 key, rays.origins, rays.directions, rays.radii,
                 t_vals, weights_render, cfg.ray_shape,
                 cfg.stop_level_grad, resample_padding, cfg.single_jitter,
+                transposed=True,
             )
-        means, covs = samples
+        means_T, covs_T = samples  # [3, N, S]
         if cfg.disable_integration:
-            covs = jnp.zeros_like(covs)
-        n, s = means.shape[:2]
-        raw = fused_mip.fused_mip_mlp_train(
+            covs_T = jnp.zeros_like(covs_T)
+        s = means_T.shape[-1]
+        raw_T = fused_mip.fused_mip_mlp_train_T(
             tuple(weights),
-            means.reshape(n * s, 3),
-            covs.reshape(n * s, 3),
-            jnp.broadcast_to(rays.viewdirs[:, None, :], (n, s, 3)).reshape(
-                n * s, 3
-            ),
+            means_T.reshape(3, n * s),
+            covs_T.reshape(3, n * s),
+            jnp.broadcast_to(
+                rays.viewdirs.T[:, :, None], (3, n, s)
+            ).reshape(3, n * s),
             cfg.netdepth, skip_layer, cfg.max_deg_point, deg_view,
             tile, interpret, cd,
         )
-        rgb = jax.nn.sigmoid(raw[:, :3])
-        rgb = (rgb * (1 + 2 * rgb_padding) - rgb_padding).reshape(n, s, 3)
-        raw_density = raw[:, 3]
+        rgb_T = jax.nn.sigmoid(raw_T[:3])
+        rgb_T = (rgb_T * (1 + 2 * rgb_padding) - rgb_padding).reshape(
+            3, n, s
+        )
+        raw_density = raw_T[3]
         if (rng is not None) and (cfg.density_noise > 0):
             nkey, rng = jax.random.split(rng)
             raw_density = raw_density + cfg.density_noise * (
@@ -211,8 +216,8 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
         )
         renderings.append(
             rendering.volumetric_rendering(
-                rgb, weights_render, normals, t_vals, cfg.white_bkgd,
-                cfg.vis_num_rays, compute_extras, delta,
+                None, weights_render, normals, t_vals, cfg.white_bkgd,
+                cfg.vis_num_rays, compute_extras, delta, rgbs_T=rgb_T,
             )
         )
     return renderings

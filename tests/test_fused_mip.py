@@ -146,3 +146,69 @@ def test_fused_mip_bf16_close_to_fp32():
     o16 = np.asarray(run(jnp.bfloat16))
     scale = np.abs(o32).mean() + 1e-3
     assert np.abs(o16 - o32).max() / scale < 0.15
+
+
+def test_fused_mip_transposed_forward_and_grads():
+    """fused_mip_mlp_train_T ([3,N]/[4,N] streams) == flax oracle +
+    jax.grad of the row-major fused op."""
+    mlp, params, weights, means, covs, views, cfg = _setup()
+    rgb_ref, dens_ref, _ = mlp.apply(params, None, (means, covs), views)
+    raw_T = fused_mip.fused_mip_mlp_train_T(
+        weights, means.T, covs.T, views.T, cfg["net_depth"],
+        cfg["skip_layer"], cfg["num_freqs"], cfg["deg_view"], 32, True,
+    )
+    rgb, dens = _activate(raw_T.T, mlp)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dens), np.asarray(dens_ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_t(ws):
+        out = fused_mip.fused_mip_mlp_train_T(
+            ws, means.T, covs.T, views.T, cfg["net_depth"],
+            cfg["skip_layer"], cfg["num_freqs"], cfg["deg_view"], 32,
+            True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def loss_row(ws):
+        out = fused_mip.fused_mip_mlp_train(
+            ws, means, covs, views, cfg["net_depth"], cfg["skip_layer"],
+            cfg["num_freqs"], cfg["deg_view"], 32, True,
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_t = jax.grad(loss_t)(tuple(weights))
+    g_r = jax.grad(loss_row)(tuple(weights))
+    for i, (a, b) in enumerate(zip(g_t, g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=f"weight {i}",
+        )
+
+
+def test_transposed_cast_rays_matches_row_major():
+    """cast_rays(transposed=True) == transpose(cast_rays(...))."""
+    from consistentnerf_tpu.core import mip as mip_core
+
+    key = jax.random.PRNGKey(7)
+    n, s = 11, 6
+    origins = jax.random.normal(key, (n, 3))
+    dirs = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    radii = jax.random.uniform(jax.random.fold_in(key, 2), (n, 1)) * 0.01
+    t_vals = jnp.sort(
+        jax.random.uniform(jax.random.fold_in(key, 3), (n, s + 1)) * 3
+        + 1, axis=-1,
+    )
+    for shape in ("cone", "cylinder"):
+        m, c = mip_core.cast_rays(t_vals, origins, dirs, radii, shape)
+        m_T, c_T = mip_core.cast_rays(t_vals, origins, dirs, radii, shape,
+                                      transposed=True)
+        np.testing.assert_allclose(
+            np.asarray(m_T), np.asarray(jnp.transpose(m, (2, 0, 1))),
+            atol=1e-6, rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_T), np.asarray(jnp.transpose(c, (2, 0, 1))),
+            atol=1e-6, rtol=1e-6,
+        )

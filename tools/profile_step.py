@@ -28,8 +28,32 @@ def main():
     from consistentnerf_tpu.data.pipeline import VanillaBatcher
 
     scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
-    batch = VanillaBatcher(scene, ab_bench.flagship_cfg()).next_batch()
-    cfg, model, state, ts = ab_bench.build_variant(variant, scene, batch)
+    if variant.startswith("mip_"):
+        from consistentnerf_tpu.data.pipeline import MipBatcher
+        from consistentnerf_tpu.models.factory import make_model
+        from consistentnerf_tpu.train import loop as loop_lib
+        from consistentnerf_tpu.train import step as step_lib
+
+        if variant == "mip_xla":
+            cfg = ab_bench.mip_cfg()
+        else:
+            tile = int(variant.split("_t")[-1]) if "_t" in variant else 1024
+            cfg = ab_bench.mip_cfg(use_fused_train=True, fused_tile=tile)
+        model = make_model(cfg)
+        batch = MipBatcher(scene, cfg).next_batch()
+        state = loop_lib.init_state(cfg, model, batch)
+        if cfg.use_fused_train:
+            from consistentnerf_tpu.ops.fused_train import (
+                build_fused_mip_train_step,
+            )
+
+            ts = build_fused_mip_train_step(cfg, donate=False)
+        else:
+            ts = step_lib.build_train_step(model, cfg, donate=False)
+    else:
+        batch = VanillaBatcher(scene, ab_bench.flagship_cfg()).next_batch()
+        cfg, model, state, ts = ab_bench.build_variant(variant, scene,
+                                                       batch)
     key = jax.random.PRNGKey(0)
     state, stats = ts(state, batch, key)
     float(stats["loss"])
