@@ -80,7 +80,6 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
     vanilla_ok = (
         cfg.backbone == "vanilla"
         and cfg.use_viewdirs
-        and not cfg.use_noise
         and 3 * cfg.multires <= 60
         and 3 * cfg.multires_views <= 60
     )

@@ -129,7 +129,10 @@ def online_reprojection_loss(
         near=ones * cfg.near,
         far=ones * cfg.far,
     )
-    outputs = model.apply(params, rng, rays)
+    # `model` may be a flax module or a bare apply_fn(params, rng, rays)
+    # (the fused train step passes its kernel-backed forward).
+    apply_fn = model.apply if hasattr(model, "apply") else model
+    outputs = apply_fn(params, rng, rays)
 
     w = ref["weight"]
     loss = mask_losses.masked_mse(outputs["rgb"], ref["rgb_target"], w)

@@ -318,9 +318,22 @@ def build_fused_vanilla_train_step(
                 params, step_rng if cfg.perturb > 0 else None, rays, cfg,
                 tile=tile,
             )
-            return losses_lib.vanilla_losses(
+            if cfg.use_noise:
+                outputs = step_lib.apply_output_noise(outputs, cfg,
+                                                      step_rng)
+            loss, stats = losses_lib.vanilla_losses(
                 outputs, batch, cfg, cfg.far, temp, lpips_params
             )
+            if cfg.ss_loss and "ref_image" in batch:
+                def apply_fn(p, r, rays_):
+                    return fused_vanilla_forward(p, r, rays_, cfg,
+                                                 tile=tile)
+
+                loss, stats = step_lib.apply_ss_loss(
+                    apply_fn, params, step_rng, batch, cfg, outputs,
+                    loss, stats,
+                )
+            return loss, stats
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -47,6 +47,64 @@ def rays_from_batch(batch: Dict[str, jnp.ndarray], near, far) -> Rays:
     )
 
 
+def apply_output_noise(outputs, cfg, step_rng):
+    """Gaussian noise on predictions before the losses
+    (run_nerf_view.py:1633-1638). The reference's
+    Temp_Scheduler(total_iters, 0.2, 0.05, temp_min=0.05) decays from
+    its base_temp *argument* (0.05), so the effective reference std is
+    constant 0.05 — matched here. Shared by the XLA and fused steps."""
+    std = jnp.asarray(0.05)
+    nk = jax.random.split(jax.random.fold_in(step_rng, 7), 4)
+    outputs = dict(outputs)
+    outputs["rgb"] = outputs["rgb"] + std * jax.random.normal(
+        nk[0], outputs["rgb"].shape
+    )
+    outputs["depth"] = outputs["depth"] + cfg.far * std * (
+        jax.random.normal(nk[1], outputs["depth"].shape)
+    )
+    if "rgb0" in outputs:
+        outputs["rgb0"] = outputs["rgb0"] + std * (
+            jax.random.normal(nk[2], outputs["rgb0"].shape)
+        )
+        outputs["depth0"] = outputs["depth0"] + cfg.far * std * (
+            jax.random.normal(nk[3], outputs["depth0"].shape)
+        )
+    return outputs
+
+
+def apply_ss_loss(model_or_apply, params, step_rng, batch, cfg, outputs,
+                  loss, stats):
+    """Fold the online-reprojection ss_loss term into (loss, stats).
+
+    Renders the reference rays (via the module's apply or a bare
+    apply_fn — the fused step passes its kernel-backed forward) and
+    applies the stochastic gating of the main RGB loss between the full
+    and consistency-masked variants (run_nerf_view_test.py:944-967
+    random.randint(0, 1) semantics). Shared by the XLA and fused steps.
+    """
+    from consistentnerf_tpu.consistency import online
+
+    ss_rng, gate_rng = jax.random.split(jax.random.fold_in(step_rng, 1))
+    ss, aux = online.online_reprojection_loss(
+        model_or_apply, params, ss_rng if cfg.perturb > 0 else None,
+        batch, cfg,
+    )
+    gated = mask_mod.masked_mse(
+        outputs["rgb"], batch["rgb"], aux["consistency_weight"]
+    )
+    use_gated = jax.random.bernoulli(gate_rng)
+    scale = batch.get("loss_scale", jnp.array(1.0))
+    loss = (
+        loss
+        - scale * stats["img_loss"]
+        + scale * jnp.where(use_gated, gated, stats["img_loss"])
+        + cfg.ss_loss_mult * ss
+    )
+    stats["ss_loss"] = ss
+    stats["loss"] = loss
+    return loss, stats
+
+
 def build_vanilla_train_step(
     model,
     cfg,
@@ -69,56 +127,15 @@ def build_vanilla_train_step(
                 params, step_rng if cfg.perturb > 0 else None, rays
             )
             if cfg.use_noise:
-                # Gaussian noise on predictions before the losses
-                # (run_nerf_view.py:1633-1638). The reference's
-                # Temp_Scheduler(total_iters, 0.2, 0.05, temp_min=0.05)
-                # decays from its base_temp *argument* (0.05), so the
-                # effective reference std is constant 0.05 — matched here.
-                std = jnp.asarray(0.05)
-                nk = jax.random.split(jax.random.fold_in(step_rng, 7), 4)
-                outputs = dict(outputs)
-                outputs["rgb"] = outputs["rgb"] + std * jax.random.normal(
-                    nk[0], outputs["rgb"].shape
-                )
-                outputs["depth"] = outputs["depth"] + cfg.far * std * (
-                    jax.random.normal(nk[1], outputs["depth"].shape)
-                )
-                if "rgb0" in outputs:
-                    outputs["rgb0"] = outputs["rgb0"] + std * (
-                        jax.random.normal(nk[2], outputs["rgb0"].shape)
-                    )
-                    outputs["depth0"] = outputs["depth0"] + cfg.far * std * (
-                        jax.random.normal(nk[3], outputs["depth0"].shape)
-                    )
+                outputs = apply_output_noise(outputs, cfg, step_rng)
             loss, stats = losses_lib.vanilla_losses(
                 outputs, batch, cfg, cfg.far, temp, lpips_params
             )
             if cfg.ss_loss and "ref_image" in batch:
-                from consistentnerf_tpu.consistency import online
-
-                ss_rng, gate_rng = jax.random.split(
-                    jax.random.fold_in(step_rng, 1)
+                loss, stats = apply_ss_loss(
+                    model, params, step_rng, batch, cfg, outputs, loss,
+                    stats,
                 )
-                ss, aux = online.online_reprojection_loss(
-                    model, params, ss_rng if cfg.perturb > 0 else None,
-                    batch, cfg,
-                )
-                # Stochastic gating of the main RGB loss between the full
-                # and consistency-masked variants (run_nerf_view_test.py:
-                # 944-967 random.randint(0, 1) semantics).
-                gated = mask_mod.masked_mse(
-                    outputs["rgb"], batch["rgb"], aux["consistency_weight"]
-                )
-                use_gated = jax.random.bernoulli(gate_rng)
-                scale = batch.get("loss_scale", jnp.array(1.0))
-                loss = (
-                    loss
-                    - scale * stats["img_loss"]
-                    + scale * jnp.where(use_gated, gated, stats["img_loss"])
-                    + cfg.ss_loss_mult * ss
-                )
-                stats["ss_loss"] = ss
-                stats["loss"] = loss
             return loss, stats
 
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -409,3 +409,32 @@ def test_fused_mip_step_matches_xla_step(scene):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
         )
+
+
+def test_fused_step_ss_loss_and_noise_match_xla(scene):
+    """The fused step applies ss_loss and use_noise identically to the
+    XLA step (same rng folds; perturb=0 so forward rngs don't differ)."""
+    from consistentnerf_tpu.ops.fused_train import (
+        build_fused_vanilla_train_step,
+    )
+
+    cfg = tiny_vanilla_cfg(ss_loss=True, use_noise=True, perturb=0.0,
+                           N_rand=8 * 32 - 64, fused_tile=64)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    xla_step = step_lib.build_train_step(model, cfg, donate=False)
+    fused_step = build_fused_vanilla_train_step(cfg, donate=False,
+                                                tile=64)
+    key = jax.random.PRNGKey(0)
+    _, st_x = xla_step(state, batch, key)
+    _, st_f = fused_step(state, batch, key)
+    assert "ss_loss" in st_f
+    np.testing.assert_allclose(
+        float(st_f["ss_loss"]), float(st_x["ss_loss"]), rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(st_f["loss"]), float(st_x["loss"]), rtol=2e-4, atol=2e-4
+    )
