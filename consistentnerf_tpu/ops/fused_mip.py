@@ -254,7 +254,6 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
         h = jnp.maximum(pre + ops[d["b"]], 0.0).astype(cd)
         acts.append(h)
 
-    density = _dot(h, ops[idx["wd"]]) + ops[idx["bd"]]
     bneck = (_dot(h, ops[idx["wb"]]) + ops[idx["bb"]]).astype(cd)
 
     v32 = views.astype(jnp.float32)
@@ -264,10 +263,24 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
         + ops[idx["bv"]],
         0.0,
     ).astype(cd)
-    rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
-    out = jnp.concatenate([rgb, density], axis=-1)
     if transposed:
-        out = out.T
+        # Emit [3, T]/[1, T] straight off the MXU ((0,)x(1,)
+        # contractions) instead of transposing a [T, 4] concat per tile.
+        rgb_T = jax.lax.dot_general(
+            ops[idx["wr"]], hv,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ops[idx["br"]].T
+        dens_T = jax.lax.dot_general(
+            ops[idx["wd"]], h,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ops[idx["bd"]].T
+        out = jnp.concatenate([rgb_T, dens_T], axis=0)
+    else:
+        density = _dot(h, ops[idx["wd"]]) + ops[idx["bd"]]
+        rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
+        out = jnp.concatenate([rgb, density], axis=-1)
     res = dict(sc=sc, vsc=vsc, acts=acts, bneck=bneck, hv=hv)
     return out, res
 

@@ -270,7 +270,6 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype,
 
     wa, ba = next(it), next(it)
     wf, bf = next(it), next(it)
-    alpha = _dot(h, wa) + ba
     feat = (_dot(h, wf) + bf).astype(cd)
 
     v32 = views.astype(jnp.float32)
@@ -288,12 +287,21 @@ def _aligned_forward(pts, views, ops, *, net_depth, skips, compute_dtype,
         _dot(feat, wvh) + _dot(vsc, wvsc) + bv, 0.0
     ).astype(cd)
     wr, br = next(it), next(it)
-    rgb = _dot(hv, wr) + br
     if transposed:
-        # [T, 4] -> [4, T]: a 4-sublane transpose per tile, negligible
-        # next to the 42x lane-padding it avoids on the HBM side.
-        out = jnp.concatenate([rgb, alpha], axis=-1).T
+        # Emit [3, T]/[1, T] straight off the MXU ((0,)x(1,)
+        # contractions) instead of transposing a [T, 4] concat per tile.
+        rgb_T = jax.lax.dot_general(
+            wr, hv, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + br.T
+        alpha_T = jax.lax.dot_general(
+            wa, h, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ba.T
+        out = jnp.concatenate([rgb_T, alpha_T], axis=0)
     else:
+        alpha = _dot(h, wa) + ba
+        rgb = _dot(hv, wr) + br
         out = jnp.concatenate([rgb, alpha], axis=-1)
     res = dict(sc=sc, vsc=vsc, acts=acts, feat=feat, hv=hv)
     return out, res
@@ -353,8 +361,10 @@ def _aligned_forward_streams(pts_chunks, views_chunks, ops, *, net_depth,
         for c in range(nc):
             h[c] = jnp.maximum(pre[c] + ops[d["b"]], 0.0).astype(cd)
 
-    alpha = [_dot(h[c], ops[idx["wa"]]) + ops[idx["ba"]]
-             for c in range(nc)]
+    alpha_T = [jax.lax.dot_general(
+        ops[idx["wa"]], h[c], dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ops[idx["ba"]].T for c in range(nc)]
     feat = [(_dot(h[c], ops[idx["wf"]]) + ops[idx["bf"]]).astype(cd)
             for c in range(nc)]
     vsc = [jnp.sin(dot0(v.astype(jnp.float32), Fv) + bias).astype(cd)
@@ -362,8 +372,15 @@ def _aligned_forward_streams(pts_chunks, views_chunks, ops, *, net_depth,
     hv = [jnp.maximum(
         _dot(feat[c], ops[idx["wvh"]]) + _dot(vsc[c], ops[idx["wvsc"]])
         + ops[idx["bv"]], 0.0).astype(cd) for c in range(nc)]
-    rgb = [_dot(hv[c], ops[idx["wr"]]) + ops[idx["br"]] for c in range(nc)]
-    return [jnp.concatenate([rgb[c], alpha[c]], axis=-1).T
+    def dot_out(w, a):
+        return jax.lax.dot_general(
+            w, a, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    rgb_T = [dot_out(ops[idx["wr"]], hv[c]) + ops[idx["br"]].T
+             for c in range(nc)]
+    return [jnp.concatenate([rgb_T[c], alpha_T[c]], axis=0)
             for c in range(nc)]
 
 
