@@ -90,7 +90,7 @@ def bench_train() -> dict:
             build_fused_vanilla_train_step,
         )
 
-        train_step = build_fused_vanilla_train_step(cfg)
+        train_step = build_fused_vanilla_train_step(cfg, mesh=mesh)
     else:
         train_step = step_lib.build_train_step(model, cfg)
 
@@ -205,7 +205,7 @@ def bench_mip() -> dict:
     state = loop_lib.init_state(cfg, model, batch)
     from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
 
-    train_step = build_fused_mip_train_step(cfg)
+    train_step = build_fused_mip_train_step(cfg, mesh=mesh)
     key = jax.random.PRNGKey(0)
     sharded = shard_batch(batch, mesh)
     state, stats = train_step(state, sharded, key)

@@ -30,9 +30,35 @@ def _weights_tuple(params, branch, net_depth):
     return tuple(w[None, :] if w.ndim == 1 else w for w in ws)
 
 
+def _shard_map_kernel(kern, mesh, n_point_args):
+    """Partition a transposed-stream kernel call over the mesh's data
+    axis with shard_map: weights replicated (their cotangents are
+    psum'ed by shard_map's transpose), point streams [C, N] split on
+    dim 1, each device padding/tiling its local shard independently.
+
+    Without this, the SPMD partitioner sees an opaque tpu_custom_call
+    and replicates its operands — an all-gather of the whole batch per
+    step on real multi-chip topologies."""
+    from jax.sharding import PartitionSpec as P
+
+    data = P(None, "data")
+    # check_vma=False: the pallas_call's out ShapeDtypeStruct carries no
+    # varying-mesh-axes annotation.
+    return jax.shard_map(
+        kern, mesh=mesh,
+        in_specs=(P(),) + (data,) * n_point_args,
+        out_specs=data,
+        check_vma=False,
+    )
+
+
 def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
-                          interpret: bool | None = None):
-    """VanillaNeRF.__call__ semantics with fused MLP evals."""
+                          interpret: bool | None = None, mesh=None):
+    """VanillaNeRF.__call__ semantics with fused MLP evals.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis; when it spans
+    more than one device the kernel calls run under shard_map (see
+    _shard_map_kernel)."""
     origins, directions, viewdirs = rays.origins, rays.directions, rays.viewdirs
     near, far = rays.near, rays.far
     n = origins.shape[0]
@@ -80,6 +106,9 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
     )
 
     transposed = kind == "v2"
+    kern_call = kern
+    if transposed and mesh is not None and mesh.size > 1:
+        kern_call = _shard_map_kernel(kern, mesh, n_point_args=2)
 
     def eval_level(branch, z_vals):
         s = z_vals.shape[1]
@@ -94,7 +123,7 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
             views_T = jnp.broadcast_to(
                 viewdirs.T[:, :, None], (3, n, s)
             ).reshape(3, n * s)
-            raw_T = kern(ws, pts_T.reshape(3, n * s), views_T)
+            raw_T = kern_call(ws, pts_T.reshape(3, n * s), views_T)
             return raw_T.reshape(4, n, s)
         pts = (
             origins[..., None, :]
@@ -147,10 +176,11 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
 
 def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
                       compute_extras=False, tile: int = 1024,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, mesh=None):
     """MipNeRF.__call__ semantics (models/mipnerf.py:41-131) with the MLP
     evaluated by the aligned fused kernel. Requires cfg.disable_normals
-    (normals need per-point density grads and stay on the XLA path)."""
+    (normals need per-point density grads and stay on the XLA path).
+    mesh: see fused_vanilla_forward."""
     from consistentnerf_tpu.ops import fused_mip
 
     assert cfg.disable_normals, "fused mip step requires disable_normals"
@@ -188,15 +218,21 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
         if cfg.disable_integration:
             covs_T = jnp.zeros_like(covs_T)
         s = means_T.shape[-1]
-        raw_T = fused_mip.fused_mip_mlp_train_T(
+        mip_kern = functools.partial(
+            fused_mip.fused_mip_mlp_train_T,
+            net_depth=cfg.netdepth, skip_layer=skip_layer,
+            num_freqs=cfg.max_deg_point, deg_view=deg_view, tile=tile,
+            interpret=interpret, compute_dtype=cd,
+        )
+        if mesh is not None and mesh.size > 1:
+            mip_kern = _shard_map_kernel(mip_kern, mesh, n_point_args=3)
+        raw_T = mip_kern(
             tuple(weights),
             means_T.reshape(3, n * s),
             covs_T.reshape(3, n * s),
             jnp.broadcast_to(
                 rays.viewdirs.T[:, :, None], (3, n, s)
             ).reshape(3, n * s),
-            cfg.netdepth, skip_layer, cfg.max_deg_point, deg_view,
-            tile, interpret, cd,
         )
         rgb_T = jax.nn.sigmoid(raw_T[:3])
         rgb_T = (rgb_T * (1 + 2 * rgb_padding) - rgb_padding).reshape(
@@ -228,9 +264,11 @@ def build_fused_mip_train_step(
     tx: Optional[optax.GradientTransformation] = None,
     donate: bool = True,
     tile: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Fused-kernel counterpart of step.build_mip_train_step (identical
-    schedules/losses, MLP evals through ops.fused_mip)."""
+    schedules/losses, MLP evals through ops.fused_mip). mesh: see
+    build_fused_vanilla_train_step."""
     tx = tx or make_optimizer(cfg)
     tile = tile or cfg.fused_tile
 
@@ -261,7 +299,7 @@ def build_fused_mip_train_step(
                 cfg, resample_padding=resample_padding,
                 compute_extras=(cfg.compute_disp_metrics
                                 or cfg.compute_normal_metrics),
-                tile=tile,
+                tile=tile, mesh=mesh,
             )
             renderings_random = None
             if render_random:
@@ -269,7 +307,7 @@ def build_fused_mip_train_step(
                     params, key2 if cfg.randomized else None,
                     batch["rays_random"], cfg,
                     resample_padding=resample_padding,
-                    compute_extras=True, tile=tile,
+                    compute_extras=True, tile=tile, mesh=mesh,
                 )
             return losses_lib.mip_losses(
                 renderings, renderings_random, batch, params, cfg,
@@ -301,8 +339,13 @@ def build_fused_vanilla_train_step(
     donate: bool = True,
     tile: Optional[int] = None,
     lpips_params=None,
+    mesh=None,
 ) -> Callable:
-    """train_step(state, batch, rng) -> (state, stats), fused-kernel MLPs."""
+    """train_step(state, batch, rng) -> (state, stats), fused-kernel MLPs.
+
+    mesh: pass the data-parallel Mesh so the Pallas kernel calls are
+    shard_map-partitioned instead of replicated by the SPMD partitioner.
+    """
     tx = tx or make_optimizer(cfg)
     tile = tile or cfg.fused_tile
 
@@ -316,7 +359,7 @@ def build_fused_vanilla_train_step(
         def loss_fn(params):
             outputs = fused_vanilla_forward(
                 params, step_rng if cfg.perturb > 0 else None, rays, cfg,
-                tile=tile,
+                tile=tile, mesh=mesh,
             )
             if cfg.use_noise:
                 outputs = step_lib.apply_output_noise(outputs, cfg,
@@ -327,7 +370,7 @@ def build_fused_vanilla_train_step(
             if cfg.ss_loss and "ref_image" in batch:
                 def apply_fn(p, r, rays_):
                     return fused_vanilla_forward(p, r, rays_, cfg,
-                                                 tile=tile)
+                                                 tile=tile, mesh=mesh)
 
                 loss, stats = step_lib.apply_ss_loss(
                     apply_fn, params, step_rng, batch, cfg, outputs,

@@ -112,7 +112,7 @@ def train(
         )
 
         train_step = build_fused_vanilla_train_step(
-            cfg, lpips_params=lpips_params
+            cfg, lpips_params=lpips_params, mesh=mesh
         )
     elif cfg.backbone == "vanilla":
         train_step = step_lib.build_vanilla_train_step(
@@ -129,7 +129,7 @@ def train(
             build_fused_mip_train_step,
         )
 
-        train_step = build_fused_mip_train_step(cfg)
+        train_step = build_fused_mip_train_step(cfg, mesh=mesh)
     else:
         train_step = step_lib.build_train_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())

@@ -438,3 +438,40 @@ def test_fused_step_ss_loss_and_noise_match_xla(scene):
     np.testing.assert_allclose(
         float(st_f["loss"]), float(st_x["loss"]), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_step_shard_map_matches_unsharded(scene):
+    """With a mesh passed, the fused kernels run under shard_map
+    (explicit data-axis partitioning); results match the
+    auto-partitioned (mesh=None) fused step bit-for-bit in fp32."""
+    from consistentnerf_tpu.ops.fused_train import (
+        build_fused_vanilla_train_step,
+    )
+
+    cfg = tiny_vanilla_cfg(N_rand=8 * 32 - 64, fused_tile=64, perturb=0.0)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    mesh = create_mesh()
+    assert mesh.size == 8
+    state = loop_lib.init_state(cfg, model, batch)
+    step_plain = build_fused_vanilla_train_step(cfg, donate=False,
+                                                tile=64)
+    step_sharded = build_fused_vanilla_train_step(cfg, donate=False,
+                                                  tile=64, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    _, st_p = step_plain(state, batch, key)
+    s_s, st_s = step_sharded(state, sharded, key)
+    np.testing.assert_allclose(
+        float(st_s["loss"]), float(st_p["loss"]), rtol=1e-5, atol=1e-5
+    )
+    _, st_p2 = step_plain(state, batch, key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_s.params),
+        jax.tree_util.tree_leaves(
+            step_plain(state, batch, key)[0].params
+        ),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
