@@ -91,19 +91,22 @@ def train(
     start_step = int(state.step)
 
     # Train-time patch LPIPS (run_nerf_view.py:1726-1728, weight +0.005):
-    # engage it whenever a weights path is configured. LPIPS falls back to
-    # a deterministic random-init trunk when the file is absent — still a
-    # valid perceptual distance, but flag it.
+    # engage it only when CALIBRATED weights are present. A random-init
+    # trunk is actively harmful as a loss (measured -6 dB held-out PSNR
+    # on the flagship synthetic run), so a missing file warns and skips.
     lpips_params = None
     if cfg.backbone == "vanilla" and cfg.lpips_weights_path:
         from consistentnerf_tpu.train import lpips as lpips_mod
 
         _lp = lpips_mod.LPIPS(cfg.lpips_weights_path)
-        lpips_params = _lp.params
-        if not _lp.is_calibrated:
+        if _lp.is_calibrated:
+            lpips_params = _lp.params
+        else:
             log_fn(
                 f"WARNING: lpips_weights_path={cfg.lpips_weights_path!r} "
-                "not found; training with an UNCALIBRATED random-init LPIPS"
+                "not found; SKIPPING the train-time LPIPS term (a random-"
+                "init perceptual loss degrades quality; export calibrated "
+                "weights with cli/export_lpips_weights.py)"
             )
 
     if cfg.use_fused_train and cfg.backbone == "vanilla":

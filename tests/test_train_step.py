@@ -322,17 +322,44 @@ def test_patch_lpips_engages_with_params(scene):
 
 
 def test_loop_wires_lpips_weights_path(scene, tmp_path):
-    """cfg.lpips_weights_path engages the train-time LPIPS term end-to-end
-    (falls back to the deterministic random trunk when the file is absent)."""
+    """cfg.lpips_weights_path engages the train-time LPIPS term when a
+    calibrated weights file is present, and SKIPS it (with a warning)
+    when the file is missing — a random-init perceptual loss measured
+    -6 dB held-out PSNR on the flagship synthetic run."""
+    from consistentnerf_tpu.train import lpips as lpips_mod
+
+    # Export a weights file in the calibrated format (values random, but
+    # presence-of-file is the contract).
+    params = lpips_mod.init_params(jax.random.PRNGKey(0))
+    arrays = {}
+    for bi, block in enumerate(params["convs"]):
+        for ci, conv in enumerate(block):
+            arrays[f"conv{bi}_{ci}_w"] = np.asarray(conv["w"])
+            arrays[f"conv{bi}_{ci}_b"] = np.asarray(conv["b"])
+    for bi, lin in enumerate(params["lins"]):
+        arrays[f"lin{bi}"] = np.asarray(lin)
+    wpath = tmp_path / "lpips.npz"
+    np.savez(wpath, **arrays)
+
     cfg = tiny_vanilla_cfg(
         total_iters=2, i_print=1, basedir=str(tmp_path), expname="lpipswire",
-        lpips_weights_path=str(tmp_path / "missing_lpips.npz"),
+        lpips_weights_path=str(wpath),
         checkpoint_every=100000, N_samples=8, N_importance=0, N_rand=64,
         netwidth=16, patch_size=16,
     )
     result = loop_lib.train(cfg, scene, num_steps=2, use_prefetch=False,
                             log_fn=lambda s: None)
     assert float(result.stats_history[0]["patch_lpips"]) != 0.0
+
+    warnings = []
+    cfg2 = cfg.replace(
+        expname="lpipsmissing",
+        lpips_weights_path=str(tmp_path / "missing_lpips.npz"),
+    )
+    result2 = loop_lib.train(cfg2, scene, num_steps=2, use_prefetch=False,
+                             log_fn=warnings.append)
+    assert float(result2.stats_history[0].get("patch_lpips", 0.0)) == 0.0
+    assert any("SKIPPING" in w for w in warnings)
 
 
 def test_patch_terms_skipped_in_use_batching_mode(scene):
