@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,7 +136,10 @@ def evaluate(
             continue
         rays = camera_rays_for_view(scene, scene.poses[vi])
         t0 = time.perf_counter()
-        outs = {k: np.asarray(v) for k, v in render(rays).items()}
+        # One batched device_get: per-key np.asarray serializes a
+        # round-trip per output through the (remote) transfer path.
+        outs = jax.device_get(render(rays))
+        outs = {k: np.asarray(v) for k, v in outs.items()}
         dt = time.perf_counter() - t0
         ray_rates.append(
             rays.origins.shape[0] * rays.origins.shape[1] / dt

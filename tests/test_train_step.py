@@ -502,3 +502,35 @@ def test_fused_step_shard_map_matches_unsharded(scene):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mip_step_shard_map_matches_unsharded(scene):
+    """Mip counterpart of the shard_map equality test."""
+    from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
+
+    cfg = tiny_mip_cfg(
+        use_fused_train=True, fused_tile=64, randomized=False,
+        load_random_rays=True, batch_size_random=128, random_patch_size=4,
+        depth_tvnorm_loss_mult=0.1, depth_tvnorm_mask_weight=1.0,
+    )
+    model = make_model(cfg)
+    batcher = MipBatcher(scene, cfg, random_poses=scene.poses[:4])
+    batch = batcher.next_batch()
+    mesh = create_mesh()
+    state = loop_lib.init_state(cfg, model, batch)
+    step_plain = build_fused_mip_train_step(cfg, donate=False, tile=64)
+    step_sharded = build_fused_mip_train_step(cfg, donate=False, tile=64,
+                                              mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    _, st_p = step_plain(state, batch, key)
+    s_s, st_s = step_sharded(state, sharded, key)
+    np.testing.assert_allclose(
+        float(st_s["loss"]), float(st_p["loss"]), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_s.params),
+        jax.tree_util.tree_leaves(step_plain(state, batch, key)[0].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
