@@ -97,7 +97,7 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
         updates["use_fused_train"] = True
         if "fused_tile" not in explicit:
             updates["fused_tile"] = 1024
-    if (vanilla_ok and "use_fused_render" not in explicit
+    if ("use_fused_render" not in explicit
             and not cfg.use_fused_render
             and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16):
         updates["use_fused_render"] = True

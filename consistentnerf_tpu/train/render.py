@@ -102,12 +102,27 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
 
     else:
 
+        if getattr(cfg, "use_fused_render", False) and cfg.disable_normals:
+            from consistentnerf_tpu.ops.fused_train import fused_mip_forward
+
+            def apply_fn(chunk_rays):
+                return fused_mip_forward(
+                    params, None, chunk_rays, cfg,
+                    resample_padding=cfg.resample_padding_final,
+                    compute_extras=True, tile=cfg.fused_tile,
+                )
+
+        else:
+
+            def apply_fn(chunk_rays):
+                return model.apply(
+                    params, None, chunk_rays,
+                    resample_padding=cfg.resample_padding_final,
+                    compute_extras=True,
+                )
+
         def chunk_fn(chunk_rays):
-            levels = model.apply(
-                params, None, chunk_rays,
-                resample_padding=cfg.resample_padding_final,
-                compute_extras=True,
-            )
+            levels = apply_fn(chunk_rays)
             fine = levels[-1]
             out = {
                 "rgb": fine["rgb"],

@@ -94,3 +94,37 @@ def test_fused_render_matches_model_apply():
             np.asarray(got[k]), np.asarray(expected[k]), atol=2e-4,
             rtol=2e-4, err_msg=k,
         )
+
+
+def test_fused_mip_render_matches_model_apply():
+    """build_render_fn(mipnerf, use_fused_render=True) == the XLA render
+    path (interpret-mode kernels on CPU, fp32)."""
+    import numpy as np
+
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import evaluation
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import render as render_lib
+
+    base = dict(backbone="mipnerf", netdepth=2, netwidth=32,
+                mip_num_samples=8, max_deg_point=4, disable_normals=True,
+                N_rand=0, white_bkgd=True, use_tensorboard=False,
+                render_chunk_size=256, dataset_type="blender")
+    cfg = Config(**base)
+    cfg_fused = Config(**base, use_fused_render=True, fused_tile=64)
+    scene = synthetic.make_scene(n_views=4, H=16, W=16).to_scene_data()
+    model = make_model(cfg)
+    batch = MipBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out_x = render_lib.build_render_fn(model, cfg, state.params)(rays)
+    out_f = render_lib.build_render_fn(model, cfg_fused,
+                                       state.params)(rays)
+    for k in ("rgb", "depth", "acc", "distance_median"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_x[k]),
+            atol=5e-4, rtol=5e-4, err_msg=k,
+        )

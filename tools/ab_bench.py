@@ -350,6 +350,8 @@ def run_render_variants(names):
     from consistentnerf_tpu.train import loop as loop_lib
     from consistentnerf_tpu.train import render as render_lib
 
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+
     results = {}
     scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
     for name in names:
@@ -359,9 +361,16 @@ def run_render_variants(names):
                       fused_tile=512)
         elif name == "render_fused_bf16":
             kw = dict(use_fused_render=True, fused_tile=512)
-        cfg = flagship_cfg(render_chunk_size=8192, **kw)
-        model = make_model(cfg)
-        batch = VanillaBatcher(scene, cfg).next_batch()
+        if name.startswith("render_mip"):
+            cfg = mip_cfg(render_chunk_size=8192,
+                          use_fused_render=name.endswith("fused"),
+                          fused_tile=1024)
+            model = make_model(cfg)
+            batch = MipBatcher(scene, cfg).next_batch()
+        else:
+            cfg = flagship_cfg(render_chunk_size=8192, **kw)
+            model = make_model(cfg)
+            batch = VanillaBatcher(scene, cfg).next_batch()
         state = loop_lib.init_state(cfg, model, batch)
         render = render_lib.build_render_fn(model, cfg, state.params)
         rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
