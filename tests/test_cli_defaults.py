@@ -1,0 +1,73 @@
+"""cli.common.auto_fused_defaults policy matrix (CPU backend here, so
+the accelerator branch is exercised via monkeypatching the backend)."""
+
+import jax
+import pytest
+
+from consistentnerf_tpu.cli import common
+from consistentnerf_tpu.configs import Config
+
+
+class _Args:
+    config = None
+
+    def __init__(self, overrides=()):
+        self.overrides = list(overrides)
+
+
+def _on_accel(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def test_cpu_backend_keeps_xla_paths():
+    cfg = common.auto_fused_defaults(Config(), _Args())
+    assert not cfg.use_fused_train and not cfg.use_fused_render
+
+
+def test_accel_enables_fused_vanilla(monkeypatch):
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(Config(), _Args())
+    assert cfg.use_fused_train and cfg.fused_tile == 1024
+    assert not cfg.use_fused_render  # fp32 default -> XLA render
+
+
+def test_accel_bf16_enables_fused_render(monkeypatch):
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(
+        Config(compute_dtype="bfloat16"), _Args()
+    )
+    assert cfg.use_fused_train and cfg.use_fused_render
+
+
+def test_explicit_override_wins(monkeypatch):
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(
+        Config(), _Args(["use_fused_train=false"])
+    )
+    assert not cfg.use_fused_train
+
+
+def test_explicit_tile_respected(monkeypatch):
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(
+        Config(fused_tile=512), _Args(["fused_tile=512"])
+    )
+    assert cfg.use_fused_train and cfg.fused_tile == 512
+
+
+def test_mip_requires_disable_normals(monkeypatch):
+    _on_accel(monkeypatch)
+    on = common.auto_fused_defaults(
+        Config(backbone="mipnerf", disable_normals=True), _Args()
+    )
+    assert on.use_fused_train
+    off = common.auto_fused_defaults(
+        Config(backbone="mipnerf", disable_normals=False), _Args()
+    )
+    assert not off.use_fused_train
+
+
+def test_high_multires_falls_back_to_xla(monkeypatch):
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(Config(multires=21), _Args())
+    assert not cfg.use_fused_train

@@ -95,6 +95,10 @@ def build_variant(name, scene, batch):
     elif name == "fused_bf16_t1024":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=1024,
                            fused_kernel="v1")
+    elif name.startswith("v2_big"):
+        # Large-batch scaling probe: 4x the flagship ray count.
+        cfg = flagship_cfg(N_rand=16384, use_fused_train=True,
+                           fused_tile=1024, fused_kernel="v2")
     elif name.startswith("v2_bf16_t"):
         # v2_bf16_t<bwd_tile>[_f<fwd_tile>][_s<fwd_streams>]
         spec = name[len("v2_bf16_t"):]
@@ -118,6 +122,11 @@ def build_variant(name, scene, batch):
     else:
         raise ValueError(name)
 
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+
+    expected = cfg.N_rand + cfg.n_patches * cfg.patch_size**2
+    if batch["rgb"].shape[0] != expected:
+        batch = VanillaBatcher(scene, cfg).next_batch()
     model = make_model(cfg)
     state = loop_lib.init_state(cfg, model, batch)
     if cfg.use_fused_train:
@@ -128,7 +137,7 @@ def build_variant(name, scene, batch):
         ts = build_fused_vanilla_train_step(cfg, donate=False)
     else:
         ts = step_lib.build_train_step(model, cfg, donate=False)
-    return cfg, model, state, ts
+    return cfg, model, state, ts, batch
 
 
 def check_forward(name, cfg, model, state, batch):
@@ -192,12 +201,12 @@ def run_train_variants(names):
     results = {}
     for name in names:
         t_start = time.time()
-        cfg, model, state, ts = build_variant(name, scene, batch)
-        err, derr = check_forward(name, cfg, model, state, batch)
-        ms, loss = time_variant(name, state, ts, batch)
+        cfg, model, state, ts, vbatch = build_variant(name, scene, batch)
+        err, derr = check_forward(name, cfg, model, state, vbatch)
+        ms, loss = time_variant(name, state, ts, vbatch)
         results[name] = dict(
             ms_per_step=round(ms * 1e3, 2),
-            rays_per_sec=round(n_rays / ms, 0),
+            rays_per_sec=round(vbatch["rgb"].shape[0] / ms, 0),
             fwd_rgb_err_vs_xla=round(err, 5),
             fwd_depth_err_vs_xla=round(derr, 5),
             final_loss=round(loss, 5),

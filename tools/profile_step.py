@@ -52,7 +52,7 @@ def main():
             ts = step_lib.build_train_step(model, cfg, donate=False)
     else:
         batch = VanillaBatcher(scene, ab_bench.flagship_cfg()).next_batch()
-        cfg, model, state, ts = ab_bench.build_variant(variant, scene,
+        cfg, model, state, ts, batch = ab_bench.build_variant(variant, scene,
                                                        batch)
     key = jax.random.PRNGKey(0)
     state, stats = ts(state, batch, key)
