@@ -88,9 +88,15 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
     mip_ok = (
         cfg.backbone == "mipnerf"
         and cfg.disable_normals
+        and cfg.stop_level_grad
+        and cfg.min_deg_point == 0
         and 3 * cfg.max_deg_point <= 60
     )
-    if jax.default_backend() == "cpu" or not (vanilla_ok or mip_ok):
+    # Gate on the live device list, not default_backend(): after a
+    # mid-process jax_platforms=cpu switch default_backend() can still
+    # report the accelerator (same check as ops.fused_mlp.auto_interpret).
+    all_cpu = all(d.platform == "cpu" for d in jax.devices())
+    if all_cpu or not (vanilla_ok or mip_ok):
         return cfg
     updates = {}
     if "use_fused_train" not in explicit and not cfg.use_fused_train:

@@ -12,6 +12,10 @@ Follows the reference conventions that are correctness-critical
   (`load_dtu.py:171-177,206`); MVSNeRF prior depth read raw,
 * optional RegNeRF-style half-res + crop of the images to 512x640 with the
   matching intrinsics shift (`RegNeRF/internal/datasets.py:1561,1579`),
+* MiDaS monocular disparity priors from
+  `midas_dtu_depth/output_dtu_{scan}/rect_{vid+1:03d}_{light}_r5000-
+  dpt_beit_large_512.pfm`, negatives clamped to zero
+  (`RegNeRF/internal/datasets.py:1585-1595`),
 * near/far from the cam-file depth range /200.
 """
 
@@ -134,7 +138,16 @@ def load_dtu(
             cas_dir = c
             break
 
-    imgs, poses, depths_cas, depths_gt, bds = [], [], [], [], []
+    midas_dir = None
+    for c in [
+        os.path.join("data", "midas_dtu_depth", f"output_dtu_{scan}"),
+        os.path.join(parent, "midas_dtu_depth", f"output_dtu_{scan}"),
+    ]:
+        if os.path.isdir(c):
+            midas_dir = c
+            break
+
+    imgs, poses, depths_cas, depths_gt, monos, bds = [], [], [], [], [], []
     intrinsic = None
     for vid in range(num_views):
         img_filename = os.path.join(
@@ -176,6 +189,18 @@ def load_dtu(
         else:
             dcas = None
 
+        # MiDaS monocular disparity (datasets.py:1585-1595): read the
+        # per-image dpt_beit_large_512 PFM and clamp negatives to zero.
+        dmono = None
+        if midas_dir:
+            mono_file = os.path.join(
+                midas_dir, f"rect_{vid + 1:03d}_{light_idx}_r5000"
+                "-dpt_beit_large_512.pfm"
+            )
+            if os.path.isfile(mono_file):
+                dmono = np.array(read_pfm(mono_file)[0], np.float32)
+                dmono = np.where(dmono < 0, 0, dmono)
+
         if crop_images:
             h, w = img.shape[:2]
             r0, r1, c0, c1 = CROP
@@ -203,17 +228,24 @@ def load_dtu(
                               interpolation=cv2.INTER_NEAREST)
         if dgt.shape != (H, W):
             dgt = cv2.resize(dgt, (W, H), interpolation=cv2.INTER_NEAREST)
+        if dmono is None:
+            dmono = np.zeros((H, W), np.float32)
+        elif dmono.shape != (H, W):
+            dmono = cv2.resize(dmono, (W, H),
+                               interpolation=cv2.INTER_NEAREST)
 
         imgs.append(img[..., :3])
         poses.append(pose.astype(np.float32))
         depths_gt.append(dgt)
         depths_cas.append(dcas)
+        monos.append(dmono)
         bds += [near_far[0] / 200, near_far[1] / 200]
 
     images = np.stack(imgs, 0).astype(np.float32)
     poses = np.stack(poses, 0)
     depths_gt = np.stack(depths_gt, 0)
     depths_cas = np.stack(depths_cas, 0)
+    mono_disp = np.stack(monos, 0)
     bds = np.asarray(bds, np.float32)
 
     if split_type == "masknerf":
@@ -251,7 +283,7 @@ def load_dtu(
         i_val=i_test,
         depths=prior_depths,
         masks=masks,
-        mono_disp=np.zeros_like(prior_depths),
+        mono_disp=mono_disp,
         render_poses=None,
         bounds=bds.reshape(-1, 2),
     )

@@ -245,7 +245,7 @@ def load_scene(cfg, attach=True) -> SceneData:
             train_view_num=cfg.train_view_num,
             light_idx=cfg.dtu_light_cond,
             num_views=cfg.dtu_max_images,
-            use_nerf_depth=cfg.use_nerf_depth or True,
+            use_nerf_depth=cfg.use_nerf_depth,
             split_type=cfg.dtu_split_type,
             depthdir=cfg.depthdir,
         )

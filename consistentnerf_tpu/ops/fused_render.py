@@ -56,7 +56,7 @@ def fused_render_rays(
     viewdirs = rays.viewdirs
     n = origins.shape[0]
 
-    transposed = kernel in ("v2", "v2h", "v2row")
+    transposed = kernel in ("v2", "v2h")
     if transposed:
         from consistentnerf_tpu.ops import fused_mlp_v2 as v2
 
@@ -66,6 +66,20 @@ def fused_render_rays(
             weights = [w[None, :] if w.ndim == 1 else w for w in weights]
             return v2._fwd_pallas_T(
                 weights, pts_T, views_T, net_depth, (4,), multires,
+                multires_views, tile, interpret, compute_dtype,
+            )
+
+    elif kernel == "v2row":
+        # Row-major v2 forward, so the variant name selects the same
+        # layout here as it does in fused_train's A/B harness.
+        from consistentnerf_tpu.ops import fused_mlp_v2 as v2
+
+        def kern(mlp_params, pts, views):
+            weights = [jnp.asarray(w) for w in
+                       fm.flatten_params(mlp_params, True, net_depth)]
+            weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+            return v2._fwd_pallas(
+                weights, pts, views, net_depth, (4,), multires,
                 multires_views, tile, interpret, compute_dtype,
             )
 

@@ -181,15 +181,23 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
     evaluated by the aligned fused kernel. Requires cfg.disable_normals
     (normals need per-point density grads and stay on the XLA path).
     mesh: see fused_vanilla_forward."""
+    from consistentnerf_tpu.models.mlp import MipMLP
     from consistentnerf_tpu.ops import fused_mip
 
     assert cfg.disable_normals, "fused mip step requires disable_normals"
+    # The custom VJP returns zero cotangents for means/covs, valid only
+    # while resampled t_vals are stop-gradient'ed (reference default).
+    assert cfg.stop_level_grad, "fused mip step requires stop_level_grad"
+    # The kernel's PE starts at frequency 2^0; a nonzero min_deg_point
+    # would silently desynchronize it from the XLA MipMLP.
+    assert cfg.min_deg_point == 0, "fused mip step requires min_deg_point=0"
     weights = [jnp.asarray(w) for w in
                fused_mip.flatten_mip_params(params, cfg.netdepth)]
     cd = jnp.dtype(cfg.compute_dtype).type
-    # MipMLP defaults not exposed via the factory.
-    skip_layer, deg_view = 4, 4
-    rgb_padding, density_bias = 0.001, -1.0
+    # MipMLP knobs not exposed via the factory: source them from the
+    # flax module defaults so the paths can't desynchronize.
+    skip_layer, deg_view = MipMLP.skip_layer, MipMLP.deg_view
+    rgb_padding, density_bias = MipMLP.rgb_padding, MipMLP.density_bias
 
     renderings = []
     t_vals = None

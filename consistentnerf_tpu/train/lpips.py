@@ -104,9 +104,11 @@ def lpips(params, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
     f1s = _features(params, img1)
     total = 0.0
     for f0, f1, lin in zip(f0s, f1s, params["lins"]):
+        # eps is added to the norm, not under the sqrt — exactly the
+        # lpips package's normalize_tensor (lpips/__init__.py).
         eps = 1e-10
-        n0 = f0 / jnp.sqrt(jnp.sum(f0**2, -1, keepdims=True) + eps)
-        n1 = f1 / jnp.sqrt(jnp.sum(f1**2, -1, keepdims=True) + eps)
+        n0 = f0 / (jnp.sqrt(jnp.sum(f0**2, -1, keepdims=True)) + eps)
+        n1 = f1 / (jnp.sqrt(jnp.sum(f1**2, -1, keepdims=True)) + eps)
         diff2 = (n0 - n1) ** 2
         total = total + jnp.mean(jnp.sum(diff2 * lin, -1), axis=(-2, -1))
     return total

@@ -15,13 +15,39 @@ class _Args:
         self.overrides = list(overrides)
 
 
+class _FakeTpuDevice:
+    platform = "tpu"
+
+
 def _on_accel(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **k: [_FakeTpuDevice()])
 
 
 def test_cpu_backend_keeps_xla_paths():
     cfg = common.auto_fused_defaults(Config(), _Args())
     assert not cfg.use_fused_train and not cfg.use_fused_render
+
+
+def test_stale_default_backend_keeps_xla_paths(monkeypatch):
+    """After a mid-process jax_platforms=cpu switch default_backend() can
+    still report the accelerator while jax.devices() is all-CPU; the
+    policy must follow the live device list (ADVICE r2)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = common.auto_fused_defaults(Config(), _Args())
+    assert not cfg.use_fused_train and not cfg.use_fused_render
+
+
+def test_mip_requires_stop_level_grad(monkeypatch):
+    """The fused mip VJP drops level-2 -> level-1 sample gradients, so
+    auto-enable must require stop_level_grad (ADVICE r2)."""
+    _on_accel(monkeypatch)
+    off = common.auto_fused_defaults(
+        Config(backbone="mipnerf", disable_normals=True,
+               stop_level_grad=False), _Args()
+    )
+    assert not off.use_fused_train
 
 
 def test_accel_enables_fused_vanilla(monkeypatch):

@@ -65,8 +65,10 @@ def test_fused_kernel_small_net_interpret():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_fused_render_matches_model_apply():
-    """fused_render_rays (interpret kernel) == VanillaNeRF deterministic."""
+@pytest.mark.parametrize("kernel", ["v2", "v2row"])
+def test_fused_render_matches_model_apply(kernel):
+    """fused_render_rays (interpret kernel) == VanillaNeRF deterministic;
+    v2row must select the row-major layout its name implies (ADVICE r2)."""
     from consistentnerf_tpu.core.rays import Rays
     from consistentnerf_tpu.models.nerf import VanillaNeRF
     from consistentnerf_tpu.ops import fused_render
@@ -87,7 +89,7 @@ def test_fused_render_matches_model_apply():
     got = fused_render.fused_render_rays(
         params, rays, num_samples=8, num_importance=4, multires=4,
         multires_views=2, net_depth=2, white_bkgd=True, tile=32,
-        interpret=True,
+        interpret=True, kernel=kernel,
     )
     for k in ["rgb", "depth", "acc", "rgb0", "depth0"]:
         np.testing.assert_allclose(

@@ -182,6 +182,94 @@ def test_dtu_loader_uncropped(tmp_path):
     assert scene.bounds.shape == (49, 2)
 
 
+def test_dtu_midas_priors(tmp_path):
+    """MiDaS disparity PFMs (datasets.py:1585-1595) populate mono_disp,
+    with negatives clamped to zero."""
+    from consistentnerf_tpu.data.dtu import load_dtu
+    from consistentnerf_tpu.data.pfm import write_pfm
+
+    h, w = 60, 80
+    scan_dir = _write_dtu_fixture(tmp_path, h=h, w=w)
+    midas_dir = tmp_path / "midas_dtu_depth" / "output_dtu_scan114"
+    midas_dir.mkdir(parents=True)
+    rng = np.random.RandomState(1)
+    raw = {}
+    for vid in range(49):
+        disp = rng.randn(h, w).astype(np.float32)
+        raw[vid] = disp
+        write_pfm(
+            str(midas_dir / f"rect_{vid + 1:03d}_3_r5000"
+                "-dpt_beit_large_512.pfm"),
+            disp,
+        )
+    scene = load_dtu(str(scan_dir), train_view_num=3, crop_images=False)
+    assert scene.mono_disp.shape == scene.images.shape[:3]
+    assert float(scene.mono_disp.min()) >= 0.0
+    assert float(scene.mono_disp.max()) > 0.0
+    for vid in [0, 25, 48]:
+        np.testing.assert_allclose(
+            scene.mono_disp[vid], np.maximum(raw[vid], 0), rtol=1e-6
+        )
+
+
+def test_dtu_midas_priors_absent_are_zero(tmp_path):
+    from consistentnerf_tpu.data.dtu import load_dtu
+
+    scan_dir = _write_dtu_fixture(tmp_path)
+    scene = load_dtu(str(scan_dir), train_view_num=3, crop_images=False)
+    assert np.all(scene.mono_disp == 0)
+
+
+def test_dtu_gt_depth_prior_selectable(tmp_path):
+    """use_nerf_depth=False selects the GT depth pipeline
+    (datasets.py:1566-1579): PFM -> x0.5 -> crop [44:556,80:720] -> /200."""
+    from consistentnerf_tpu.data.dtu import load_dtu
+    from consistentnerf_tpu.data.pfm import write_pfm
+
+    scan_dir = _write_dtu_fixture(tmp_path)
+    gt_dir = tmp_path / "Depths" / "scan114"
+    gt_views = [0, 10, 48]
+    for vid in gt_views:
+        write_pfm(
+            str(gt_dir / f"depth_map_{vid:04d}.pfm"),
+            np.full((1112, 1440), float(vid + 1) * 200.0, np.float32),
+        )
+    scene = load_dtu(str(scan_dir), train_view_num=3, crop_images=False,
+                     use_nerf_depth=False)
+    # constant-per-view GT survives resize/crop exactly; scaled /200
+    for vid in gt_views:
+        np.testing.assert_allclose(scene.depths[vid], float(vid + 1),
+                                   rtol=1e-6)
+        assert np.all(scene.masks[vid] == 1.0)
+    assert np.all(scene.depths[1] == 0) and np.all(scene.masks[1] == 0)
+    # MVSNeRF prior (absent here) would have been zeros
+    scene_mvs = load_dtu(str(scan_dir), train_view_num=3, crop_images=False,
+                         use_nerf_depth=True)
+    assert np.all(scene_mvs.depths == 0)
+
+
+def test_load_scene_dtu_respects_use_nerf_depth(monkeypatch):
+    """cfg.use_nerf_depth=False must reach the loader as False (the
+    round-2 `or True` bug made GT-depth priors unselectable)."""
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import dtu as dtu_mod
+    from consistentnerf_tpu.data.loaders import load_scene
+
+    seen = {}
+
+    def fake_load_dtu(datadir, **kw):
+        seen.update(kw)
+        from consistentnerf_tpu.data import synthetic
+
+        return synthetic.make_scene(n_views=4, H=16, W=16).to_scene_data()
+
+    monkeypatch.setattr(dtu_mod, "load_dtu", fake_load_dtu)
+    cfg = Config(dataset_type="dtu", datadir="/nonexistent/scan114",
+                 use_nerf_depth=False)
+    load_scene(cfg, attach=False)
+    assert seen["use_nerf_depth"] is False
+
+
 def test_dtu_cam_file_parsing(tmp_path):
     from consistentnerf_tpu.data.dtu import read_cam_file
 
