@@ -1,6 +1,8 @@
 """Benchmark: throughput of the flagship configs on the attached
-accelerator. Prints ONE JSON line (the driver contract); `--mode` selects
-which number.
+accelerator. Prints ONE JSON line (the driver contract). The default
+mode measures all three surfaces and reports the vanilla-train headline
+with `extras` carrying the render and mip numbers from the same claim;
+`--mode train|render|mip` measures a single surface.
 
 Modes:
   train  (default) — ConsistentNeRF vanilla trainer at production budget
@@ -147,17 +149,24 @@ def bench_render() -> dict:
     batch = VanillaBatcher(scene, cfg).next_batch()
     state = loop_lib.init_state(cfg, model, batch)
     render = render_lib.build_render_fn(model, cfg, state.params)
-    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
-    n_rays = rays.origins.shape[0] * rays.origins.shape[1]
-    out = render(rays)  # compile
+    all_rays = [evaluation.camera_rays_for_view(scene, p)
+                for p in scene.poses]
+    n_rays = (all_rays[0].origins.shape[0]
+              * all_rays[0].origins.shape[1])
+    out = render(all_rays[0])  # compile
     float(np.asarray(out["rgb"]).sum())
+    # The real eval/render workload renders a SEQUENCE of views with
+    # dispatch pipelined against device compute (train/evaluation.py);
+    # measure that: dispatch all views (distinct poses — identical
+    # repeated executions can be served from a relay cache), sync once.
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = render(rays)
-        float(np.asarray(out["rgb"]).sum())
+        outs = [render(r) for r in all_rays]
+        for o in outs:
+            float(np.asarray(o["rgb"]).sum())
         best = min(best, time.perf_counter() - t0)
-    rps = n_rays / best
+    rps = len(all_rays) * n_rays / best
     # Reference render path: same MLP budget forward-only, no backward
     # (~0.6 TFLOP per 16k-ray image in fp32) -> reference class ~3x the
     # train number per ray; use 75k rays/s as the render anchor.
@@ -233,12 +242,15 @@ def bench_mip() -> dict:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["train", "render", "mip", "all"],
-                   default="train")
+                   default="all")
     args = p.parse_args()
     fns = {"train": bench_train, "render": bench_render, "mip": bench_mip}
     if args.mode == "all":
-        for name, fn in fns.items():
-            print(json.dumps(fn()))
+        # One JSON line carrying the whole perf surface from one claim:
+        # vanilla-train headline + render/mip in `extras`.
+        line = bench_train()
+        line["extras"] = {"render": bench_render(), "mip": bench_mip()}
+        print(json.dumps(line))
     else:
         print(json.dumps(fns[args.mode]()))
 

@@ -103,10 +103,10 @@ def main(argv=None):
         # The fixed ranges are on disparity (1/depth); visualize_depth
         # takes lo/hi in disparity space too.
         lo, hi = depth_range
-    for i, pose in enumerate(poses):
-        rays = camera_rays_for_view(scene, np.asarray(pose),
-                                    render_factor=cfg.render_factor)
-        out = {k: np.asarray(v) for k, v in render(rays).items()}
+    import jax
+
+    def save(i, out):
+        out = {k: np.asarray(v) for k, v in out.items()}
         vis.save_img_u8(out["rgb"],
                         os.path.join(out_dir, f"color_{i:03d}.png"))
         vis.save_img_u8(
@@ -114,6 +114,19 @@ def main(argv=None):
             os.path.join(out_dir, f"depth_{i:03d}.png"),
         )
         print(f"rendered {i + 1}/{len(poses)}")
+
+    # Pipeline: dispatch frame i+1 before fetching frame i, so the
+    # per-call dispatch latency overlaps the device render.
+    pending = None
+    for i, pose in enumerate(poses):
+        rays = camera_rays_for_view(scene, np.asarray(pose),
+                                    render_factor=cfg.render_factor)
+        out = render(rays)  # async dispatch
+        if pending is not None:
+            save(pending[0], jax.device_get(pending[1]))
+        pending = (i, out)
+    if pending is not None:
+        save(pending[0], jax.device_get(pending[1]))
     print("wrote", out_dir)
 
 

@@ -42,14 +42,17 @@ def psnr_to_mse(psnr):
 
 
 def weighted_percentile(x, w, ps, assume_sorted: bool = False):
-    """Weighted percentile(s) of a single vector (RegNeRF math.py:52)."""
+    """Weighted percentile(s) of a single vector.
+
+    Formula provenance: RegNeRF/internal/math.py:52 (interp against the
+    cumulative weight)."""
     x = x.reshape([-1])
     w = w.reshape([-1])
     if not assume_sorted:
-        sortidx = jnp.argsort(jax.lax.stop_gradient(x))
-        x, w = x[sortidx], w[sortidx]
-    acc_w = jnp.cumsum(w)
-    return jnp.interp(jnp.array(ps) * (acc_w[-1] / 100), acc_w, x)
+        order = jnp.argsort(jax.lax.stop_gradient(x))
+        x, w = x[order], w[order]
+    cum_w = jnp.cumsum(w)
+    return jnp.interp(jnp.array(ps) * (cum_w[-1] / 100), cum_w, x)
 
 
 def compute_avg_error(psnr, ssim, lpips):
@@ -60,41 +63,49 @@ def compute_avg_error(psnr, ssim, lpips):
 
 
 def compute_ternary_census(im, epsilon, boundary="edge"):
-    """Ternary census transform of a single [H, W, C] image (math.py:70)."""
+    """Ternary census transform of a single [H, W, C] image: the sign of
+    each pixel's difference to its 8 neighbors, zeroed inside +-epsilon.
+
+    Formula provenance: RegNeRF/internal/math.py:70."""
     assert len(im.shape) == 3
     assert epsilon >= 0
-    im_pad = jnp.pad(im, [(1, 1), (1, 1), (0, 0)], boundary)
-    census = []
-    for di in [-1, 0, 1]:
-        for dj in [-1, 0, 1]:
-            if di == dj == 0:
-                continue
-            im_rolled = jnp.roll(jnp.roll(im_pad, di, -2), dj, -3)[1:-1, 1:-1, :]
-            delta = im - im_rolled
-            census.append(
-                jnp.where(jnp.abs(delta) <= epsilon, 0, jnp.int8(jnp.sign(delta)))
-            )
-    return jnp.stack(census, -1)
+    padded = jnp.pad(im, [(1, 1), (1, 1), (0, 0)], boundary)
+    offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+               if (di, dj) != (0, 0)]
+    codes = []
+    for di, dj in offsets:
+        neighbor = jnp.roll(jnp.roll(padded, di, -2), dj, -3)[1:-1, 1:-1, :]
+        diff = im - neighbor
+        codes.append(
+            jnp.where(jnp.abs(diff) <= epsilon, 0, jnp.int8(jnp.sign(diff)))
+        )
+    return jnp.stack(codes, -1)
 
 
 def compute_census_err(im0, im1, epsilon):
-    """Frequency of opposite-signed ternary census transforms (math.py:87)."""
-    census0, census1 = [compute_ternary_census(x, epsilon) for x in [im0, im1]]
-    return jnp.mean(jnp.abs(census0 - census1) > 1)
+    """Rate of opposite-signed census codes between two images.
+
+    Formula provenance: RegNeRF/internal/math.py:87 (|c0 - c1| > 1 means
+    the signs disagree, not merely one being zero)."""
+    c0 = compute_ternary_census(im0, epsilon)
+    c1 = compute_ternary_census(im1, epsilon)
+    return jnp.mean(jnp.abs(c0 - c1) > 1)
 
 
 def linear_to_srgb(linear):
+    """IEC 61966-2-1 linear -> sRGB transfer (exact rational constants)."""
     eps = jnp.finfo(jnp.float32).eps
-    srgb0 = 323 / 25 * linear
-    srgb1 = (211 * jnp.maximum(eps, linear) ** (5 / 12) - 11) / 200
-    return jnp.where(linear <= 0.0031308, srgb0, srgb1)
+    below = 323 / 25 * linear
+    above = (211 * jnp.maximum(eps, linear) ** (5 / 12) - 11) / 200
+    return jnp.where(linear <= 0.0031308, below, above)
 
 
 def srgb_to_linear(srgb):
+    """IEC 61966-2-1 sRGB -> linear transfer (exact rational constants)."""
     eps = jnp.finfo(jnp.float32).eps
-    linear0 = 25 / 323 * srgb
-    linear1 = jnp.maximum(eps, ((200 * srgb + 11) / 211)) ** (12 / 5)
-    return jnp.where(srgb <= 0.04045, linear0, linear1)
+    below = 25 / 323 * srgb
+    above = jnp.maximum(eps, ((200 * srgb + 11) / 211)) ** (12 / 5)
+    return jnp.where(srgb <= 0.04045, below, above)
 
 
 def log_lerp(t, v0, v1):
@@ -109,14 +120,14 @@ def log_lerp(t, v0, v1):
 def learning_rate_decay(
     step, lr_init, lr_final, max_steps, lr_delay_steps=0, lr_delay_mult=1
 ):
-    """Log-linear lr decay with optional sine warmup (RegNeRF math.py:134)."""
+    """Log-linear lr decay with an optional quarter-sine warmup ramp.
+
+    Formula provenance: RegNeRF/internal/math.py:134."""
+    warmup = 1.0
     if lr_delay_steps > 0:
-        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
-            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1)
-        )
-    else:
-        delay_rate = 1.0
-    return delay_rate * log_lerp(step / max_steps, lr_init, lr_final)
+        ramp = jnp.sin(0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1))
+        warmup = lr_delay_mult + (1 - lr_delay_mult) * ramp
+    return warmup * log_lerp(step / max_steps, lr_init, lr_final)
 
 
 def exp_lr_decay(step, lr_init, decay_rate=0.1, decay_steps=250_000):
@@ -126,28 +137,32 @@ def exp_lr_decay(step, lr_init, decay_rate=0.1, decay_steps=250_000):
 
 
 def compute_tv_norm(values, losstype="l2", weighting=None):
-    """Total-variation norm over patch values [..., H, W] (math.py:237)."""
-    v00 = values[:, :-1, :-1]
-    v01 = values[:, :-1, 1:]
-    v10 = values[:, 1:, :-1]
+    """Total-variation norm over patch values [..., H, W]: per-pixel
+    horizontal + vertical neighbor differences, L1 or squared.
+
+    Formula provenance: RegNeRF/internal/math.py:237."""
+    center = values[:, :-1, :-1]
+    dx = center - values[:, :-1, 1:]
+    dy = center - values[:, 1:, :-1]
 
     if losstype == "l2":
-        loss = ((v00 - v01) ** 2) + ((v00 - v10) ** 2)
+        tv = dx**2 + dy**2
     elif losstype == "l1":
-        loss = jnp.abs(v00 - v01) + jnp.abs(v00 - v10)
+        tv = jnp.abs(dx) + jnp.abs(dy)
     else:
         raise ValueError("Not supported losstype.")
 
     if weighting is not None:
-        loss = loss * weighting
-    return loss
+        tv = tv * weighting
+    return tv
 
 
 def compute_tvnorm_weight(step, max_step, weight_start=0.0, weight_end=0.0):
-    """Linearly annealed loss weight for the TV norm (math.py:259).
+    """Linearly annealed loss weight for the TV norm.
 
-    jnp-based so it works both host-side and inside a jitted step
-    (train/step.py evaluates it from the traced `state.step`).
+    Formula provenance: RegNeRF/internal/math.py:259. jnp-based so it
+    works both host-side and inside a jitted step (train/step.py
+    evaluates it from the traced `state.step`).
     """
-    w = jnp.clip(step * 1.0 / (1 if (max_step < 1) else max_step), 0, 1)
-    return weight_start * (1 - w) + w * weight_end
+    frac = jnp.clip(step * 1.0 / (1 if (max_step < 1) else max_step), 0, 1)
+    return weight_start * (1 - frac) + frac * weight_end

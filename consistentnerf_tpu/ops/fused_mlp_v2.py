@@ -391,11 +391,22 @@ def _aligned_backward(g, pts, views, ops, *, net_depth, skips,
 
     transposed=True: pts/views are [3, T] and g is [4, T] (see
     _aligned_forward); every weight grad keeps its normal shape."""
-    cd = compute_dtype
-    out, r = _aligned_forward(
+    _, r = _aligned_forward(
         pts, views, ops, net_depth=net_depth, skips=skips,
-        compute_dtype=cd, transposed=transposed,
+        compute_dtype=compute_dtype, transposed=transposed,
     )
+    return _aligned_backward_from_res(
+        g, r, ops, net_depth=net_depth, skips=skips,
+        compute_dtype=compute_dtype, transposed=transposed,
+    )
+
+
+def _aligned_backward_from_res(g, r, ops, *, net_depth, skips,
+                               compute_dtype, transposed=False):
+    """Grads for the aligned operand list from SAVED forward residuals
+    (the dict _aligned_forward returns). Lets a single-pass kernel reuse
+    its forward activations instead of recomputing them."""
+    cd = compute_dtype
     pe_layers = _pe_layers(net_depth, skips)
 
     # Walk the operand list once more to index weights per layer.

@@ -179,131 +179,128 @@ def mip_losses(
     cfg,
     tvnorm_loss_weight: float,
 ):
-    """Total loss + stats for the mip/RegNeRF backbone (train.py:97-241)."""
+    """Total loss + stats for the mip/RegNeRF backbone.
+
+    Formula provenance: RegNeRF/train.py:97-241 (lossmult-weighted RGB
+    MSE per level, dataset-normalized masked depth MSE, MiDaS patch term,
+    annealed TV norm on random-pose patches, mean-square weight decay).
+    The stats dict keys are part of the train-loop logging contract.
+    """
     rays = batch["rays"]
     lossmult = rays.lossmult
     if cfg.disable_multiscale_loss:
         lossmult = jnp.ones_like(lossmult)
 
-    # weight decay over all params (train.py:102-106)
-    fract1 = tree_sum(jax.tree_util.tree_map(lambda z: jnp.sum(z**2),
-                                             variables))
-    fract2 = tree_sum(
+    # Mean squared parameter value over every weight in the model.
+    param_sq_sum = tree_sum(
+        jax.tree_util.tree_map(lambda z: jnp.sum(z**2), variables)
+    )
+    param_count = tree_sum(
         jax.tree_util.tree_map(lambda z: jnp.prod(jnp.array(z.shape)),
                                variables)
     )
-    weight_l2 = jnp.nan_to_num(jnp.where(fract2 == 0, 0, fract1 / fract2))
-
-    losses = []
-    depth_mses = []
-    mono_depth_mses = []
-    losses_georeg = []
-
-    for rendering in renderings:
-        numer = (
-            lossmult * (rendering["rgb"] - batch["rgb"][..., :3]) ** 2
-        ).sum()
-        denom = lossmult.sum()
-        losses.append(numer / (denom + 0.0001))
-
-        if cfg.compute_depth_metrics:
-            if cfg.dataset_type == "dtu" or cfg.use_hardmask:
-                mask = batch["masks"]
-                if cfg.dataset_type == "llff":
-                    bmax = batch["bounds"].max()
-                    depth_mse = (
-                        (batch["dpts"] * mask / bmax
-                         - rendering["distance_mean"] * mask / bmax) ** 2
-                    ).mean()
-                elif cfg.dataset_type == "blender":
-                    depth_mse = (
-                        (batch["dpts"] * mask / cfg.far
-                         - rendering["distance_mean"] * mask / cfg.far) ** 2
-                    ).mean()
-                else:
-                    depth_mse = (
-                        (batch["dpts"] * mask
-                         - rendering["distance_mean"] * mask) ** 2
-                    ).mean()
-            else:
-                if cfg.dataset_type == "llff":
-                    bmax = batch["bounds"].max()
-                    depth_mse = (
-                        (batch["dpts"] / bmax
-                         - rendering["distance_mean"] / bmax) ** 2
-                    ).mean()
-                else:
-                    depth_mse = (
-                        (batch["dpts"] - rendering["distance_mean"]) ** 2
-                    ).mean()
-            depth_mses.append(depth_mse)
-        else:
-            depth_mses.append(0.0)
-
-        if cfg.compute_mono_depth_metrics:
-            dm = midas_patch_loss(
-                rendering["distance_mean"].reshape(-1),
-                batch["mono_dpts"].reshape(-1),
-                16,
-                4,
-            )
-            if cfg.dataset_type == "blender":
-                dm = dm * 0.01
-            mono_depth_mses.append(dm)
-        else:
-            mono_depth_mses.append(0.0)
-
-    render_random_rays = (cfg.depth_tvnorm_loss_mult != 0.0) or (
-        cfg.depth_tvnorm_decay
+    weight_l2 = jnp.nan_to_num(
+        jnp.where(param_count == 0, 0, param_sq_sum / param_count)
     )
-    if not render_random_rays or renderings_random is None:
-        losses_georeg = [jnp.array(0.0)]
+
+    def rgb_mse(rendering):
+        sq_err = lossmult * (rendering["rgb"] - batch["rgb"][..., :3]) ** 2
+        return sq_err.sum() / (lossmult.sum() + 0.0001)
+
+    def depth_mse(rendering):
+        if not cfg.compute_depth_metrics:
+            return 0.0
+        pred = rendering["distance_mean"]
+        prior = batch["dpts"]
+        # DTU (and any hardmask run) supervises only mask-valid pixels;
+        # LLFF normalizes by the scene bound, Blender by far.
+        if cfg.dataset_type == "dtu" or cfg.use_hardmask:
+            mask = batch["masks"]
+            pred = pred * mask
+            prior = prior * mask
+            if cfg.dataset_type == "llff":
+                scale = batch["bounds"].max()
+            elif cfg.dataset_type == "blender":
+                scale = cfg.far
+            else:
+                scale = 1.0
+        else:
+            scale = (batch["bounds"].max() if cfg.dataset_type == "llff"
+                     else 1.0)
+        return (((prior - pred) / scale) ** 2).mean()
+
+    def mono_depth_term(rendering):
+        if not cfg.compute_mono_depth_metrics:
+            return 0.0
+        term = midas_patch_loss(
+            rendering["distance_mean"].reshape(-1),
+            batch["mono_dpts"].reshape(-1),
+            16,
+            4,
+        )
+        return term * 0.01 if cfg.dataset_type == "blender" else term
+
+    per_level_rgb = [rgb_mse(r) for r in renderings]
+    per_level_depth = [depth_mse(r) for r in renderings]
+    per_level_mono = [mono_depth_term(r) for r in renderings]
+
+    wants_tv = cfg.depth_tvnorm_loss_mult != 0.0 or cfg.depth_tvnorm_decay
+    if not wants_tv or renderings_random is None:
+        per_level_tv = [jnp.array(0.0)]
     else:
         ps = cfg.random_patch_size
-        reshape_to_patch = lambda x, dim: x.reshape(-1, ps, ps, dim)
+
+        def as_patches(x, dim):
+            return x.reshape(-1, ps, ps, dim)
+
+        per_level_tv = []
         for rendering in renderings_random:
-            depth = reshape_to_patch(rendering[cfg.depth_tvnorm_selector], 1)
-            weighting = (
+            depth_patches = as_patches(
+                rendering[cfg.depth_tvnorm_selector], 1
+            )
+            opacity_w = (
                 jax.lax.stop_gradient(
-                    reshape_to_patch(rendering["acc"], 1)[:, :-1, :-1]
+                    as_patches(rendering["acc"], 1)[:, :-1, :-1]
                 )
                 * cfg.depth_tvnorm_mask_weight
             )
-            losses_georeg.append(
+            per_level_tv.append(
                 mathx.compute_tv_norm(
-                    depth, cfg.depth_tvnorm_type, weighting
+                    depth_patches, cfg.depth_tvnorm_type, opacity_w
                 ).mean()
             )
 
-    losses = jnp.array(losses)
-    depth_mses = jnp.array(depth_mses)
-    mono_depth_mses = jnp.array(mono_depth_mses)
-    losses_georeg = jnp.array(losses_georeg)
+    rgb_v = jnp.array(per_level_rgb)
+    depth_v = jnp.array(per_level_depth)
+    mono_v = jnp.array(per_level_mono)
+    tv_v = jnp.array(per_level_tv)
 
     tv_weight = (
         tvnorm_loss_weight if cfg.depth_tvnorm_decay
         else cfg.depth_tvnorm_loss_mult
     )
+
+    def final_plus_coarse(v, mult=1.0):
+        # Last level at full weight, earlier levels at coarse_loss_mult.
+        return mult * v[-1] + mult * cfg.coarse_loss_mult * jnp.sum(v[:-1])
+
     loss = (
-        losses[-1]
-        + cfg.coarse_loss_mult * jnp.sum(losses[:-1])
-        + 0.1 * depth_mses[-1]
-        + 0.1 * cfg.coarse_loss_mult * jnp.sum(depth_mses[:-1])
-        + 0.1 * mono_depth_mses[-1]
-        + 0.1 * cfg.coarse_loss_mult * jnp.sum(mono_depth_mses[:-1])
+        final_plus_coarse(rgb_v)
+        + final_plus_coarse(depth_v, 0.1)
+        + final_plus_coarse(mono_v, 0.1)
         + cfg.weight_decay_mult * weight_l2
-        + (tv_weight * losses_georeg[-1]
-           + cfg.coarse_loss_mult * jnp.sum(losses_georeg[:-1]))
+        + (tv_weight * tv_v[-1]
+           + cfg.coarse_loss_mult * jnp.sum(tv_v[:-1]))
     )
 
     stats = {
         "loss": loss,
-        "losses": losses,
-        "depth_mses": depth_mses,
-        "mono_depth_mses": mono_depth_mses,
-        "losses_georeg": losses_georeg,
+        "losses": rgb_v,
+        "depth_mses": depth_v,
+        "mono_depth_mses": mono_v,
+        "losses_georeg": tv_v,
         "weight_l2": weight_l2,
-        "psnr": mathx.mse_to_psnr(losses[-1]),
-        "psnrs": mathx.mse_to_psnr(losses),
+        "psnr": mathx.mse_to_psnr(rgb_v[-1]),
+        "psnrs": mathx.mse_to_psnr(rgb_v),
     }
     return loss, stats
