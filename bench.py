@@ -74,9 +74,11 @@ def bench_train() -> dict:
         white_bkgd=True,
         use_tensorboard=False,
         compute_dtype="bfloat16",
-        # Fused transposed-stream Pallas step: wins its A/B vs the XLA
-        # step on v5e (59.6 vs 86.0 ms, tools/ab_bench.py).
+        # One-pass megakernel step (MLP fwd + compositing + loss
+        # cotangents + bwd in one pallas call per level): 48.6 ms vs
+        # 60.3 (two-call fused) vs 86.0 (XLA) on v5e, tools/ab_bench.py.
         use_fused_train=True,
+        use_onepass_train=True,
         fused_tile=1024,
     )
     scene = _scene()
@@ -88,11 +90,18 @@ def bench_train() -> dict:
 
     state = loop_lib.init_state(cfg, model, batch)
     if cfg.use_fused_train:
-        from consistentnerf_tpu.ops.fused_train import (
-            build_fused_vanilla_train_step,
-        )
+        from consistentnerf_tpu.ops import fused_onepass
 
-        train_step = build_fused_vanilla_train_step(cfg, mesh=mesh)
+        if cfg.use_onepass_train and fused_onepass.onepass_supported(cfg):
+            train_step = fused_onepass.build_onepass_vanilla_train_step(
+                cfg, mesh=mesh
+            )
+        else:
+            from consistentnerf_tpu.ops.fused_train import (
+                build_fused_vanilla_train_step,
+            )
+
+            train_step = build_fused_vanilla_train_step(cfg, mesh=mesh)
     else:
         train_step = step_lib.build_train_step(model, cfg)
 

@@ -1,0 +1,652 @@
+"""Single-pass train megakernel: MLP forward + volumetric compositing +
+per-ray loss cotangents + MLP backward in ONE pallas call per level.
+
+Why: the two-call design (ops.fused_mlp_v2) must RECOMPUTE the forward
+inside the backward kernel because activations cannot persist across
+pallas calls except through HBM (983k points x 8 layers of [.,256] bf16
+~= 4.5 GB per step — not storable). One call that runs forward, derives
+the loss cotangent for its own tile, and immediately walks backward
+keeps the activations in VMEM for the life of the tile: the per-step
+matmul volume drops from 4x forward-FLOPs (fwd + recompute + dW + dx) to
+3x, and the raw [4, N] stream, the XLA compositing pass
+(`core.rendering.raw2outputs_T`) and the loss glue disappear from the
+HBM timeline entirely.
+
+The loss cotangent is computable in-kernel only for PER-RAY terms whose
+batch-global denominators do not depend on parameters (the hard-mask /
+plain MSE family: `run_nerf_view.py:1645-1648,1737,1762-1771`): the
+denominators are functions of the mask alone, so the train step bakes
+them into per-ray coefficient rows. The patch terms (MiDaS / SSIM /
+LPIPS, `run_nerf_view.py:1679-1728`) are patch-global; the first
+n_patches*patch_size^2 rays therefore take the ordinary differentiable
+two-call path and their weight grads are summed with the megakernel's.
+
+Compositing inside the kernel follows `raw2outputs` semantics
+(`run_nerf_view.py:392-438`) on a ray-major [rows, T] layout: each tile
+is a whole number of rays, samples are lane-contiguous, and the
+exclusive transmittance product / suffix sums are segmented Hillis-
+Steele scans over the lane axis (log2(S) masked roll-multiply steps —
+VPU noise next to the trunk matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from consistentnerf_tpu.ops import fused_mlp as fm
+from consistentnerf_tpu.ops import fused_mlp_v2 as v2
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _lane_pos(t, seg):
+    """Lane index within its segment, [1, t] int32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    return jax.lax.rem(lane, seg)
+
+
+def _seg_excl_prod(v, seg):
+    """Per-segment exclusive product along lanes: out_i = prod_{j<i} v_j.
+
+    v: [1, T] with T a multiple of seg; segments are lane-contiguous.
+    """
+    t = v.shape[-1]
+    pos = _lane_pos(t, seg)
+    acc = v
+    k = 1
+    while k < seg:
+        shifted = jnp.roll(acc, k, axis=-1)
+        acc = acc * jnp.where(pos >= k, shifted, 1.0)
+        k *= 2
+    excl = jnp.roll(acc, 1, axis=-1)
+    return jnp.where(pos >= 1, excl, 1.0)
+
+
+def _seg_rev_excl_sum(u, seg):
+    """Per-segment exclusive suffix sum: out_i = sum_{j>i} u_j."""
+    t = u.shape[-1]
+    pos = _lane_pos(t, seg)
+    acc = u
+    k = 1
+    while k < seg:
+        shifted = jnp.roll(acc, -k, axis=-1)
+        acc = acc + jnp.where(pos < seg - k, shifted, 0.0)
+        k *= 2
+    excl = jnp.roll(acc, -1, axis=-1)
+    return jnp.where(pos < seg - 1, excl, 0.0)
+
+
+def _seg_total(u, seg):
+    """Per-segment total, broadcast to every lane of the segment."""
+    t = u.shape[-1]
+    pos = _lane_pos(t, seg)
+    acc = u
+    k = 1
+    while k < seg:
+        shifted = jnp.roll(acc, -k, axis=-1)
+        acc = acc + jnp.where(pos < seg - k, shifted, 0.0)
+        k *= 2
+    # acc_i = sum_{j>=i}; the segment total lives at pos 0 — add back the
+    # prefix sum_{j<i} via the exclusive-suffix complement:
+    # total = suffix_incl(i) + prefix_excl(i).
+    prefix = acc  # rename for clarity below
+    # prefix_excl_i = total - suffix_incl_i, so instead compute directly:
+    pos0 = jnp.where(pos == 0, prefix, 0.0)
+    k = 1
+    while k < seg:
+        shifted = jnp.roll(pos0, k, axis=-1)
+        pos0 = pos0 + jnp.where(pos >= k, shifted, 0.0)
+        k *= 2
+    return pos0
+
+
+def _composite_fwd(raw, z, dn, seg, white_bkgd):
+    """In-kernel raw2outputs (run_nerf_view.py:392-438) on [rows, T].
+
+    raw: [4, T] fp32 MLP output; z: [1, T] per-point depth; dn: [1, T]
+    per-ray ||direction|| broadcast per point. Returns (rgb_map [3, T]
+    broadcast per segment, depth [1, T], acc [1, T], w [1, T], saved).
+    """
+    t = raw.shape[-1]
+    pos = _lane_pos(t, seg)
+    z_next = jnp.roll(z, -1, axis=-1)
+    dists = jnp.where(pos == seg - 1, 1e10, z_next - z) * dn
+
+    c = jax.nn.sigmoid(raw[:3])  # [3, T]
+    sigma = raw[3:4]  # [1, T]
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
+    # NOT `1 - alpha + 1e-10`: inside a pallas kernel that add flushes to
+    # exactly 0 when alpha == 1 (the last sample's 1e10 dist saturates),
+    # and the backward's suffix/v then divides 0/0. maximum() is exact and
+    # numerically identical for every non-degenerate alpha.
+    v = jnp.maximum(1.0 - alpha, 1e-10)
+    trans = _seg_excl_prod(v, seg)
+    w = alpha * trans
+
+    acc = _seg_total(w, seg)
+    rgb_map = jnp.concatenate(
+        [_seg_total(w * c[i: i + 1], seg) for i in range(3)], axis=0
+    )
+    depth = _seg_total(w * z, seg)
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc)
+    saved = dict(c=c, sigma=sigma, alpha=alpha, v=v, trans=trans, w=w,
+                 dists=dists, z=z)
+    return rgb_map, depth, acc, w, saved
+
+
+def _composite_bwd(d_rgb, d_depth, saved, seg, white_bkgd):
+    """VJP of _composite_fwd into the raw MLP output.
+
+    d_rgb: [3, T] per-ray cotangent of rgb_map (broadcast per point);
+    d_depth: [1, T] likewise. Returns d_raw [4, T].
+    """
+    c, sigma, alpha = saved["c"], saved["sigma"], saved["alpha"]
+    v, trans, w = saved["v"], saved["trans"], saved["w"]
+    dists, z = saved["dists"], saved["z"]
+
+    d_acc = -jnp.sum(d_rgb, axis=0, keepdims=True) if white_bkgd else 0.0
+    d_c = w * d_rgb
+    d_w = jnp.sum(d_rgb * c, axis=0, keepdims=True) + d_depth * z + d_acc
+    suffix = _seg_rev_excl_sum(d_w * w, seg)
+    d_alpha = d_w * trans - suffix / v
+    # d alpha / d sigma = (1 - alpha) * dists on sigma > 0 (relu).
+    d_sigma = d_alpha * (1.0 - alpha) * dists * (sigma > 0)
+    d_raw_rgb = d_c * c * (1.0 - c)
+    return jnp.concatenate([d_raw_rgb, d_sigma], axis=0)
+
+
+def _tile_cols(seg, requested):
+    """Whole-ray tile width: a multiple of lcm(seg, 128), close to
+    `requested` columns."""
+    base = seg * 128 // np.gcd(seg, 128)
+    return base * max(1, requested // base)
+
+
+def onepass_level_T(
+    weights: Sequence[jnp.ndarray],
+    pts_T: jnp.ndarray,      # [3, N*S]
+    views_T: jnp.ndarray,    # [3, N*S]
+    z_row: jnp.ndarray,      # [1, N*S] per-point depth along the ray
+    dn_row: jnp.ndarray,     # [1, N*S] ||direction|| per ray
+    coeff_rgb: jnp.ndarray,  # [1, N*S] d loss / d rgb_map = coeff*(rgb-t)
+    target_rows: jnp.ndarray,  # [3, N*S] rgb target per ray
+    coeff_depth: jnp.ndarray,  # [1, N*S] d loss / d depth = coeff*(d-p)
+    prior_row: jnp.ndarray,    # [1, N*S] depth prior per ray
+    *,
+    seg: int,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = 1024,
+    white_bkgd: bool = False,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """One-pass fwd+composite+loss-cotangent+bwd for one level.
+
+    Returns (out_rows [6, N*S] fp32, d_weights torch-layout list).
+    out_rows: 0-2 rgb_map (per-segment broadcast), 3 depth, 4 acc,
+    5 per-point compositing weight (for sample_pdf).
+    """
+    interpret = fm.auto_interpret(interpret)
+    ops = v2.prepare_aligned(weights, net_depth, skips, multires,
+                             multires_views, compute_dtype)
+    n = pts_T.shape[1]
+    assert n % seg == 0, (n, seg)
+    tile_c = _tile_cols(seg, tile) if not interpret else seg
+    n_pad = -(-n // tile_c) * tile_c
+    rows_in = [pts_T, views_T, z_row, dn_row, coeff_rgb, target_rows,
+               coeff_depth, prior_row]
+    rows_in = [v2._pad_cols(r, n_pad) for r in rows_in]
+    grid = (n_pad // tile_c,)
+    trainable = list(range(2, len(ops)))
+
+    def kernel(pts_ref, views_ref, z_ref, dn_ref, crgb_ref, tgt_ref,
+               cd_ref, prior_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_ref = refs[len(ops)]
+        grad_refs = refs[len(ops) + 1: len(ops) + 1 + len(trainable)]
+        acc_refs = refs[len(ops) + 1 + len(trainable):]
+        vals = [r[:] for r in op_refs]
+
+        raw, res = v2._aligned_forward(
+            pts_ref[:], views_ref[:], vals, net_depth=net_depth,
+            skips=tuple(skips), compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        rgb_map, depth, acc, w, saved = _composite_fwd(
+            raw, z_ref[:], dn_ref[:], seg, white_bkgd
+        )
+        out_ref[:] = jnp.concatenate([rgb_map, depth, acc, w], axis=0)
+
+        d_rgb = crgb_ref[:] * (rgb_map - tgt_ref[:])
+        d_depth = cd_ref[:] * (depth - prior_ref[:])
+        d_raw = _composite_bwd(d_rgb, d_depth, saved, seg, white_bkgd)
+
+        tile_grads = v2._aligned_backward_from_res(
+            d_raw, res, vals, net_depth=net_depth, skips=tuple(skips),
+            compute_dtype=compute_dtype, transposed=True,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, g_ref) in enumerate(zip(acc_refs, grad_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, g_ref=g_ref):
+                g_ref[:] = a_ref[:]
+
+    row_spec3 = pl.BlockSpec((3, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    row_spec1 = pl.BlockSpec((1, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec3, row_spec3, row_spec1, row_spec1, row_spec1,
+                  row_spec3, row_spec1, row_spec1]
+        + [v2._whole(wv) for wv in ops],
+        out_specs=(
+            pl.BlockSpec((6, tile_c), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(v2._whole(ops[t]) for t in trainable),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, n_pad), jnp.float32),
+        ) + tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*rows_in, *ops)
+
+    out_rows = outs[0][:, :n]
+    aligned_grads = [None, None] + list(outs[1:])
+    d_weights = v2._recombine_grads(aligned_grads, weights, net_depth,
+                                    skips, multires, multires_views)
+    return out_rows, d_weights
+
+
+# ---------------------------------------------------------------------------
+# Train step built on the megakernel
+# ---------------------------------------------------------------------------
+
+
+def onepass_supported(cfg) -> bool:
+    """Whether the one-pass megakernel step computes cfg's exact loss.
+
+    Requires per-ray loss terms with parameter-independent denominators
+    (hardmask / softmask-as-hardmask / plain MSE families) and no output
+    noise or online-reprojection term (those change the cotangent chain).
+    """
+    return (
+        cfg.backbone == "vanilla"
+        and cfg.use_viewdirs
+        and cfg.N_importance > 0
+        and not cfg.softLpmask
+        and not cfg.use_noise
+        and not cfg.ss_loss
+        and 3 * cfg.multires <= 60
+        and 3 * cfg.multires_views <= 60
+    )
+
+
+def _grad_branch_dict(d_list, params_branch, net_depth):
+    """torch-layout flat grad list -> one NeRFMLP branch's grad dict
+    (zeros for non-Dense leaves such as the temperature scalars)."""
+    out = {
+        k: jax.tree_util.tree_map(jnp.zeros_like, leaf)
+        for k, leaf in params_branch.items()
+    }
+    i = 0
+    names = [f"pts_{l}" for l in range(net_depth)]
+    names += ["alpha", "feature", "views_0", "rgb"]
+    for name in names:
+        out[name] = {
+            "kernel": d_list[i],
+            "bias": d_list[i + 1].reshape(
+                params_branch[name]["bias"].shape
+            ),
+        }
+        i += 2
+    return out
+
+
+def _rep_row(per_ray, seg):
+    """[N] or [N, C] per-ray values -> [C, N*seg] per-point rows."""
+    x = per_ray if per_ray.ndim == 2 else per_ray[:, None]
+    n, c = x.shape
+    return jnp.broadcast_to(x.T[:, :, None], (c, n, seg)).reshape(
+        c, n * seg
+    )
+
+
+def _shard_onepass(call, mesh):
+    """shard_map the megakernel over the mesh data axis: weights
+    replicated, point/row streams split on dim 1, dW psum'ed."""
+    from jax.sharding import PartitionSpec as P
+
+    data = P(None, "data")
+
+    def inner(ws, *rows):
+        out_rows, d_ws = call(ws, *rows)
+        d_ws = [jax.lax.psum(g, "data") for g in d_ws]
+        return out_rows, tuple(d_ws)
+
+    n_grads = None  # resolved lazily by shard_map's pytree handling
+
+    def wrapped(ws, *rows):
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(),) + (data,) * len(rows),
+            out_specs=(data, P()),
+            check_vma=False,
+        )(ws, *rows)
+
+    return wrapped
+
+
+def build_onepass_vanilla_train_step(
+    cfg,
+    tx=None,
+    donate: bool = True,
+    tile=None,
+    lpips_params=None,
+    mesh=None,
+):
+    """train_step(state, batch, rng) -> (state, stats); the vanilla
+    ConsistentNeRF loss with both MLP levels running the one-pass
+    megakernel on non-patch rays and the ordinary differentiable fused
+    path on the patch rays (whose SSIM/LPIPS/MiDaS terms are
+    patch-global). Loss semantics identical to
+    `train.losses.vanilla_losses` (run_nerf_view.py:1645-1906); the
+    stats are literally computed by it on the assembled outputs."""
+    import optax
+
+    from consistentnerf_tpu.core import rendering, sampling
+    from consistentnerf_tpu.ops.fused_train import _weights_tuple
+    from consistentnerf_tpu.train import losses as losses_lib
+    from consistentnerf_tpu.train import step as step_lib
+    from consistentnerf_tpu.train.state import TrainState, make_optimizer
+
+    assert onepass_supported(cfg), (
+        "one-pass fused step requires the hardmask/plain loss family "
+        "with no use_noise/ss_loss; use build_fused_vanilla_train_step"
+    )
+    tx = tx or make_optimizer(cfg)
+    tile = tile or cfg.fused_tile
+    net_depth = cfg.netdepth
+    s_c = cfg.N_samples
+    s_f = cfg.N_samples + cfg.N_importance
+    assert cfg.N_importance > 0, "one-pass step assumes a fine level"
+    has_patches = (not cfg.use_batching) and cfg.n_patches > 0
+    n_patch_rays = cfg.n_patches * cfg.patch_size**2 if has_patches else 0
+
+    level_kw = dict(
+        net_depth=net_depth, skips=(4,), multires=cfg.multires,
+        multires_views=cfg.multires_views, tile=tile,
+        white_bkgd=cfg.white_bkgd,
+        compute_dtype=jnp.dtype(cfg.compute_dtype).type,
+    )
+    sharded = mesh is not None and mesh.size > 1
+
+    def mega_level(ws, seg, pts_T, views_T, rows):
+        call = functools.partial(
+            lambda w, *r: onepass_level_T(w, *r, seg=seg, **level_kw)
+        )
+        if sharded:
+            call = _shard_onepass(call, mesh)
+        out_rows, d_ws = call(ws, pts_T, views_T, *rows)
+        return out_rows, list(d_ws)
+
+    def kern_patch(ws, pts_T, views_T):
+        """Differentiable fused MLP for the patch path."""
+        return v2.fused_mlp_v2_train_T(
+            ws, pts_T, views_T, net_depth, (4,), cfg.multires,
+            cfg.multires_views, tile, None,
+            jnp.dtype(cfg.compute_dtype).type,
+        )
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rays = step_lib.rays_from_batch(batch, cfg.near, cfg.far)
+        n = rays.origins.shape[0]
+        p = n_patch_rays
+        far = cfg.far
+        ls = batch.get("loss_scale", jnp.array(1.0))
+        mask = batch["mask"]
+        target = batch["rgb"]
+        prior = batch["depth"]
+        ones = jnp.ones((n,), jnp.float32)
+
+        # --- per-ray loss-cotangent coefficients (global denominators,
+        # parameter-independent; see module docstring) ---
+        if cfg.hardmask or cfg.softmask:
+            m_sum = jnp.sum(mask)
+            coeff_rgb = ls * 2.0 * (
+                mask / jnp.maximum(3.0 * m_sum, 1.0)
+                + jnp.where(m_sum == n, 0.0, cfg.hardmask_coef)
+                * (1.0 - mask) / jnp.maximum(3.0 * (n - m_sum), 1.0)
+            )
+        else:
+            coeff_rgb = ls * 2.0 / (3.0 * n) * ones
+        if cfg.with_depth_loss:
+            if cfg.hardmask or cfg.softmask:
+                coeff_d = ls * 2.0 * mask / (
+                    far**2 * jnp.maximum(jnp.sum(mask), 1.0)
+                )
+                prior_eff = prior
+            elif cfg.with_depth_norm:
+                prior_eff = jnp.where(mask > 0, prior, 0.0)
+                coeff_d = ls * 2.0 / (far**2 * n) * ones
+            else:
+                prior_eff = jnp.where(mask > 0, prior, 0.0)
+                coeff_d = ls * 2.0 / float(n) * ones
+        else:
+            coeff_d = jnp.zeros((n,), jnp.float32)
+            prior_eff = jnp.zeros((n,), jnp.float32)
+
+        # --- shared stratified draws (one [N, S] draw, sliced per path,
+        # so patch/rest rays see independent jitter) ---
+        keys = jax.random.split(step_rng, 3)
+        t_rand = (
+            jax.random.uniform(keys[0], (n, s_c))
+            if cfg.perturb > 0 else None
+        )
+        det_pdf = not cfg.perturb
+        z_c = sampling.vanilla_z_vals(
+            rays.near, rays.far, s_c, cfg.lindisp, t_rand
+        )  # [N, S_c]
+        dnorm = jnp.linalg.norm(rays.directions, axis=-1)
+
+        o_T = rays.origins.T
+        d_T = rays.directions.T
+        v_T = rays.viewdirs.T
+
+        def pts_views(sl, z_sub):
+            n_sub, seg = z_sub.shape
+            pts = (
+                o_T[:, sl, None] + d_T[:, sl, None] * z_sub[None]
+            ).reshape(3, n_sub * seg)
+            views = jnp.broadcast_to(
+                v_T[:, sl, None], (3, n_sub, seg)
+            ).reshape(3, n_sub * seg)
+            return pts, views
+
+        def level_rows(sl, z_sub):
+            seg = z_sub.shape[1]
+            return (
+                z_sub.reshape(1, -1),
+                _rep_row(dnorm[sl], seg),
+                _rep_row(coeff_rgb[sl], seg),
+                _rep_row(target[sl], seg),
+                _rep_row(coeff_d[sl], seg),
+                _rep_row(prior_eff[sl], seg),
+            )
+
+        # ---------------- mega path: rays [p:] ----------------
+        sl_r = slice(p, n)
+        params = state.params
+        ws_c = _weights_tuple(params, "coarse", net_depth)
+        ws_f = _weights_tuple(params, "fine", net_depth)
+
+        pts_c, views_c = pts_views(sl_r, z_c[p:])
+        out_c, dw_c = mega_level(ws_c, s_c, pts_c, views_c,
+                                 level_rows(sl_r, z_c[p:]))
+        w_rest = out_c[5].reshape(n - p, s_c)
+        z_mid_r = 0.5 * (z_c[p:, 1:] + z_c[p:, :-1])
+        z_samples_r = sampling.sample_pdf(
+            z_mid_r, w_rest[..., 1:-1], cfg.N_importance,
+            rng=None if det_pdf else jax.random.fold_in(keys[1], 0),
+            det=det_pdf,
+        )
+        z_f_r = jnp.sort(
+            jnp.concatenate([z_c[p:], z_samples_r], -1), -1
+        )  # [N-p, S_f]
+        pts_f, views_f = pts_views(sl_r, z_f_r)
+        out_f, dw_f = mega_level(ws_f, s_f, pts_f, views_f,
+                                 level_rows(sl_r, z_f_r))
+
+        def rows_to_maps(out_rows, n_sub, seg):
+            per_ray = out_rows[:, ::seg]  # per-segment broadcasts
+            return (per_ray[:3].T, per_ray[3], per_ray[4])  # rgb, d, acc
+
+        rgb_r, depth_r, acc_r = rows_to_maps(out_f, n - p, s_f)
+        rgb0_r, depth0_r, acc0_r = rows_to_maps(out_c, n - p, s_c)
+
+        # ---------------- patch path: rays [:p] ----------------
+        if p > 0:
+            rays_p = jax.tree_util.tree_map(lambda x: x[:p], rays)
+
+            def patch_loss(prms):
+                wc = _weights_tuple(prms, "coarse", net_depth)
+                wf = _weights_tuple(prms, "fine", net_depth)
+                pts, views = pts_views(slice(0, p), z_c[:p])
+                raw_T = kern_patch(wc, pts, views).reshape(4, p, s_c)
+                rgb0, _, acc0, w_p, depth0 = rendering.raw2outputs_T(
+                    raw_T, z_c[:p], rays_p.directions, None,
+                    cfg.white_bkgd,
+                )
+                z_mid = 0.5 * (z_c[:p, 1:] + z_c[:p, :-1])
+                z_samples = sampling.sample_pdf(
+                    z_mid, w_p[..., 1:-1], cfg.N_importance,
+                    rng=None if det_pdf else jax.random.fold_in(
+                        keys[1], 1
+                    ),
+                    det=det_pdf,
+                )
+                z_all = jnp.sort(
+                    jnp.concatenate(
+                        [z_c[:p], jax.lax.stop_gradient(z_samples)], -1
+                    ), -1,
+                )
+                pts2, views2 = pts_views(slice(0, p), z_all)
+                raw_T2 = kern_patch(wf, pts2, views2).reshape(4, p, s_f)
+                rgb, _, acc, _, depth = rendering.raw2outputs_T(
+                    raw_T2, z_all, rays_p.directions, None,
+                    cfg.white_bkgd,
+                )
+
+                # patch rays' share of the per-ray MSE terms, same
+                # global-denominator coefficients as the megakernel
+                def share(rgb_l, depth_l):
+                    se_rgb = jnp.sum(
+                        coeff_rgb[:p, None] / 2.0
+                        * (rgb_l - target[:p]) ** 2
+                    )
+                    se_d = jnp.sum(
+                        coeff_d[:p] / 2.0 * (depth_l - prior_eff[:p]) ** 2
+                    )
+                    return se_rgb + se_d
+
+                loss = share(rgb, depth) + share(rgb0, depth0)
+
+                # patch-global terms, fine + coarse duplicates
+                batch_p = {
+                    "rgb": target[:p],
+                    "mono_disp": batch["mono_disp"][:p],
+                }
+                for rgb_l, depth_l in ((rgb, depth), (rgb0, depth0)):
+                    mono, ssim_v, lp = losses_lib._patch_terms(
+                        rgb_l, depth_l, batch_p, cfg, lpips_params
+                    )
+                    loss = (
+                        loss
+                        + cfg.mono_depth_loss_mult * mono
+                        - cfg.patch_ssim_loss_mult * ssim_v
+                        + cfg.patch_lpips_loss_mult * lp
+                    )
+                return loss, (rgb, depth, rgb0, depth0)
+
+            (_, (rgb_p, depth_p, rgb0_p, depth0_p)), grads = (
+                jax.value_and_grad(patch_loss, has_aux=True)(params)
+            )
+            rgb_full = jnp.concatenate([rgb_p, rgb_r], 0)
+            depth_full = jnp.concatenate([depth_p, depth_r], 0)
+            rgb0_full = jnp.concatenate([rgb0_p, rgb0_r], 0)
+            depth0_full = jnp.concatenate([depth0_p, depth0_r], 0)
+        else:
+            grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            rgb_full, depth_full = rgb_r, depth_r
+            rgb0_full, depth0_full = rgb0_r, depth0_r
+
+        # fold the megakernel's explicit weight grads into the tree
+        import flax.core
+
+        frozen = not isinstance(grads, dict)
+        grads_u = flax.core.unfreeze(grads) if frozen else grads
+        for branch, dws in (("coarse", dw_c), ("fine", dw_f)):
+            mega = _grad_branch_dict(dws, params["params"][branch],
+                                     net_depth)
+            grads_u["params"][branch] = jax.tree_util.tree_map(
+                lambda a, b: a + b, grads_u["params"][branch], mega
+            )
+        grads = flax.core.freeze(grads_u) if frozen else grads_u
+
+        # stats: literally vanilla_losses on the assembled outputs
+        outputs_full = {
+            "rgb": rgb_full, "depth": depth_full,
+            "rgb0": rgb0_full, "depth0": depth0_full,
+        }
+        loss, stats = losses_lib.vanilla_losses(
+            outputs_full, batch, cfg, far, 1.0, lpips_params
+        )
+
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        from consistentnerf_tpu.core import mathx
+
+        stats["grad_norm"] = losses_lib.tree_norm(grads)
+        stats["lr"] = mathx.exp_lr_decay(
+            state.step, cfg.lrate, 0.1, cfg.lrate_decay * 1000
+        )
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       opt_state=opt_state),
+            stats,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -110,13 +110,20 @@ def train(
             )
 
     if cfg.use_fused_train and cfg.backbone == "vanilla":
-        from consistentnerf_tpu.ops.fused_train import (
-            build_fused_vanilla_train_step,
-        )
+        from consistentnerf_tpu.ops import fused_onepass
 
-        train_step = build_fused_vanilla_train_step(
-            cfg, lpips_params=lpips_params, mesh=mesh
-        )
+        if cfg.use_onepass_train and fused_onepass.onepass_supported(cfg):
+            train_step = fused_onepass.build_onepass_vanilla_train_step(
+                cfg, lpips_params=lpips_params, mesh=mesh
+            )
+        else:
+            from consistentnerf_tpu.ops.fused_train import (
+                build_fused_vanilla_train_step,
+            )
+
+            train_step = build_fused_vanilla_train_step(
+                cfg, lpips_params=lpips_params, mesh=mesh
+            )
     elif cfg.backbone == "vanilla":
         train_step = step_lib.build_vanilla_train_step(
             model, cfg, lpips_params=lpips_params

@@ -97,3 +97,29 @@ def test_high_multires_falls_back_to_xla(monkeypatch):
     _on_accel(monkeypatch)
     cfg = common.auto_fused_defaults(Config(multires=21), _Args())
     assert not cfg.use_fused_train
+
+
+def test_accel_enables_onepass_train(monkeypatch):
+    """Accelerator defaults turn on the one-pass megakernel step (the
+    48.6 vs 60.3 ms flagship winner); explicit override wins."""
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(Config(), _Args())
+    assert cfg.use_fused_train and cfg.use_onepass_train
+    off = common.auto_fused_defaults(
+        Config(), _Args(["use_onepass_train=false"])
+    )
+    assert off.use_fused_train and not off.use_onepass_train
+
+
+def test_onepass_follows_explicit_fused_train(monkeypatch):
+    """use_fused_train set explicitly true still picks up the megakernel
+    default; use_fused_train=false suppresses it."""
+    _on_accel(monkeypatch)
+    on = common.auto_fused_defaults(
+        Config(use_fused_train=True), _Args(["use_fused_train=true"])
+    )
+    assert on.use_onepass_train
+    off = common.auto_fused_defaults(
+        Config(), _Args(["use_fused_train=false"])
+    )
+    assert not off.use_onepass_train

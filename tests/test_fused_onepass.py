@@ -1,0 +1,244 @@
+"""One-pass train megakernel tests (ops.fused_onepass).
+
+The megakernel computes MLP forward + compositing + per-ray loss
+cotangents + MLP backward in a single pallas call; these tests pin it
+against the composed XLA oracle (kernel level) and against the XLA
+train step (full-step level, loss + updated params).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.configs import Config
+from consistentnerf_tpu.core import rendering
+from consistentnerf_tpu.data import synthetic
+from consistentnerf_tpu.data.pipeline import VanillaBatcher
+from consistentnerf_tpu.models.factory import make_model
+from consistentnerf_tpu.models.mlp import NeRFMLP
+from consistentnerf_tpu.ops import fused_mlp as fm
+from consistentnerf_tpu.ops import fused_onepass as op
+from consistentnerf_tpu.parallel import create_mesh, shard_batch
+from consistentnerf_tpu.train import loop as loop_lib
+from consistentnerf_tpu.train import step as step_lib
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(n_views=6, H=48, W=48).to_scene_data()
+
+
+def _vanilla_cfg(**kw):
+    base = dict(
+        backbone="vanilla",
+        netdepth=2,
+        netwidth=32,
+        N_samples=16,
+        N_importance=8,
+        multires=4,
+        multires_views=2,
+        N_rand=192,
+        n_patches=1,
+        patch_size=8,
+        white_bkgd=True,
+        near=2.0,
+        far=6.0,
+        use_tensorboard=False,
+        hardmask=True,
+        with_depth_loss=True,
+        perturb=0.0,
+        use_fused_train=True,
+        fused_tile=64,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_onepass_level_matches_composed_oracle():
+    """onepass_level_T == XLA MLP -> raw2outputs_T -> per-ray MSE grads."""
+    net_depth, width, skips, multires, mv = 4, 32, (2,), 4, 2
+    n_rays, seg = 12, 16
+    mlp = NeRFMLP(net_depth=net_depth, net_width=width, skips=skips)
+    pe_dim = 3 * (1 + 2 * multires)
+    ve_dim = 3 * (1 + 2 * mv)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((2, pe_dim)),
+                      jnp.zeros((2, ve_dim)))
+    weights = [jnp.asarray(w)
+               for w in fm.flatten_params(params, True, net_depth)]
+    weights = tuple(w[None, :] if w.ndim == 1 else w for w in weights)
+
+    k = jax.random.split(jax.random.PRNGKey(1), 8)
+    o = jax.random.normal(k[0], (n_rays, 3))
+    d = jax.random.normal(k[1], (n_rays, 3))
+    z = jnp.sort(jax.random.uniform(k[2], (n_rays, seg)) * 4 + 2, -1)
+    target = jax.random.uniform(k[3], (n_rays, 3))
+    prior = jax.random.uniform(k[4], (n_rays,)) * 4 + 2
+    coeff_rgb = jax.random.uniform(k[5], (n_rays,))
+    coeff_d = jax.random.uniform(k[6], (n_rays,))
+    viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dnorm = jnp.linalg.norm(d, axis=-1)
+
+    pts = o[:, None] + d[:, None] * z[..., None]  # [N, S, 3]
+    pts_T = pts.reshape(-1, 3).T
+    views_T = jnp.broadcast_to(
+        viewdirs[:, None], (n_rays, seg, 3)
+    ).reshape(-1, 3).T
+
+    def oracle(ws):
+        flat = [w[0] if (w.ndim == 2 and w.shape[0] == 1) else w
+                for w in ws]
+        raw = fm._mlp_body(
+            pts.reshape(-1, 3), views_T.T, flat, net_depth=net_depth,
+            skips=skips, multires=multires, multires_views=mv,
+            use_viewdirs=True,
+        )
+        raw_T = raw.T.reshape(4, n_rays, seg)
+        rgb, _, acc, w_, depth = rendering.raw2outputs_T(
+            raw_T, z, d, None, True)
+        loss = (jnp.sum(coeff_rgb[:, None] / 2 * (rgb - target) ** 2)
+                + jnp.sum(coeff_d / 2 * (depth - prior) ** 2))
+        return loss, (rgb, depth, acc, w_)
+
+    (_, (rgb_o, depth_o, acc_o, w_o)), g_o = jax.value_and_grad(
+        oracle, has_aux=True)(weights)
+
+    rep = lambda x: op._rep_row(x, seg)  # noqa: E731
+    out_rows, d_ws = op.onepass_level_T(
+        weights, pts_T, views_T, z.reshape(1, -1), rep(dnorm),
+        rep(coeff_rgb), rep(target), rep(coeff_d), rep(prior),
+        seg=seg, net_depth=net_depth, skips=skips, multires=multires,
+        multires_views=mv, tile=256, white_bkgd=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_rows[:3, ::seg].T),
+                               np.asarray(rgb_o), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_rows[3, ::seg]),
+                               np.asarray(depth_o), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_rows[4, ::seg]),
+                               np.asarray(acc_o), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_rows[5]).reshape(n_rays, seg),
+                               np.asarray(w_o), atol=1e-5, rtol=1e-5)
+    assert len(d_ws) == len(weights)
+    for i, (gk, go) in enumerate(zip(d_ws, g_o)):
+        np.testing.assert_allclose(
+            np.asarray(gk).reshape(np.asarray(go).shape), np.asarray(go),
+            atol=2e-4, rtol=2e-3, err_msg=f"weight {i}",
+        )
+
+
+def _step_pair(scene, cfg):
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    xla_step = step_lib.build_vanilla_train_step(model, cfg, donate=False)
+    op_step = op.build_onepass_vanilla_train_step(cfg, donate=False,
+                                                  tile=64)
+    return state, batch, xla_step, op_step
+
+
+def _assert_steps_match(state, batch, xla_step, op_step, param_atol=2e-4):
+    key = jax.random.PRNGKey(0)
+    s_x, st_x = xla_step(state, batch, key)
+    s_o, st_o = op_step(state, batch, key)
+    np.testing.assert_allclose(float(st_o["loss"]), float(st_x["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_o.params),
+                    jax.tree_util.tree_leaves(s_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=param_atol, rtol=5e-3)
+    return st_o, st_x
+
+
+def test_onepass_step_matches_xla_hardmask(scene):
+    """Hardmask RGB + masked depth + patch mono/SSIM terms: loss and
+    updated params match the XLA step."""
+    st_o, st_x = _assert_steps_match(
+        *_step_pair(scene, _vanilla_cfg())
+    )
+    np.testing.assert_allclose(float(st_o["img_loss"]),
+                               float(st_x["img_loss"]), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(st_o["depth_loss"]),
+                               float(st_x["depth_loss"]), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_onepass_step_matches_xla_plain_mse(scene):
+    """Unmasked MSE family (hardmask off, with_depth_norm depth)."""
+    cfg = _vanilla_cfg(hardmask=False, with_depth_norm=True)
+    _assert_steps_match(*_step_pair(scene, cfg))
+
+
+def test_onepass_step_matches_xla_use_batching(scene):
+    """use_batching mode: no patch rays, the megakernel handles the whole
+    batch (p == 0 path)."""
+    from consistentnerf_tpu.data.pipeline import AllImagesBatcher
+
+    cfg = _vanilla_cfg(use_batching=True, N_rand=128)
+    model = make_model(cfg)
+    batcher = AllImagesBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    xla_step = step_lib.build_vanilla_train_step(model, cfg, donate=False)
+    op_step = op.build_onepass_vanilla_train_step(cfg, donate=False,
+                                                  tile=64)
+    _assert_steps_match(state, batch, xla_step, op_step)
+
+
+def test_onepass_step_shard_map_matches_unsharded(scene):
+    """With a mesh, the megakernel runs under shard_map over the data
+    axis; results match the unsharded step."""
+    cfg = _vanilla_cfg(N_rand=192)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    mesh = create_mesh()
+    assert mesh.size == 8
+    state = loop_lib.init_state(cfg, model, batch)
+    step_plain = op.build_onepass_vanilla_train_step(cfg, donate=False,
+                                                     tile=64)
+    step_sharded = op.build_onepass_vanilla_train_step(
+        cfg, donate=False, tile=64, mesh=mesh
+    )
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    s_p, st_p = step_plain(state, batch, key)
+    s_s, st_s = step_sharded(state, sharded, key)
+    np.testing.assert_allclose(float(st_s["loss"]), float(st_p["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_s.params),
+                    jax.tree_util.tree_leaves(s_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_onepass_supported_gating():
+    assert op.onepass_supported(_vanilla_cfg())
+    assert not op.onepass_supported(_vanilla_cfg(use_noise=True))
+    assert not op.onepass_supported(_vanilla_cfg(ss_loss=True))
+    assert not op.onepass_supported(
+        _vanilla_cfg(hardmask=False, softLpmask=True)
+    )
+    assert not op.onepass_supported(_vanilla_cfg(backbone="mipnerf"))
+    with pytest.raises(AssertionError):
+        op.build_onepass_vanilla_train_step(_vanilla_cfg(use_noise=True))
+
+
+def test_onepass_convergence(scene):
+    """A few one-pass steps reduce the loss on the synthetic scene."""
+    cfg = _vanilla_cfg(netwidth=32)
+    model = make_model(cfg)
+    batcher = VanillaBatcher(scene, cfg)
+    batch = batcher.next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    op_step = op.build_onepass_vanilla_train_step(cfg, donate=False,
+                                                  tile=64)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        batch = batcher.next_batch()
+        state, stats = op_step(state, batch, key)
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])

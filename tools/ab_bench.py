@@ -112,6 +112,20 @@ def build_variant(name, scene, batch):
                            fused_fwd_tile=int(parts[1]) if len(parts) > 1
                            else 0,
                            fused_fwd_streams=streams)
+    elif name.startswith("onepass_"):
+        # onepass_[big_]t<tile>[_fp32]: single-pass megakernel step;
+        # `big` = 16384-ray batch scaling probe.
+        spec = name[len("onepass_"):]
+        big = spec.startswith("big_")
+        if big:
+            spec = spec[len("big_"):]
+        assert spec.startswith("t"), name
+        spec = spec[1:]
+        cd = "float32" if spec.endswith("_fp32") else "bfloat16"
+        tile = int(spec.split("_")[0])
+        kw = dict(N_rand=16384) if big else {}
+        cfg = flagship_cfg(use_fused_train=True, use_onepass_train=True,
+                           fused_tile=tile, compute_dtype=cd, **kw)
     elif name == "hybrid_bf16_t512":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
                            fused_kernel="hybrid")
@@ -129,7 +143,12 @@ def build_variant(name, scene, batch):
         batch = VanillaBatcher(scene, cfg).next_batch()
     model = make_model(cfg)
     state = loop_lib.init_state(cfg, model, batch)
-    if cfg.use_fused_train:
+    if cfg.use_fused_train and cfg.use_onepass_train:
+        from consistentnerf_tpu.ops import fused_onepass
+
+        ts = fused_onepass.build_onepass_vanilla_train_step(cfg,
+                                                            donate=False)
+    elif cfg.use_fused_train:
         from consistentnerf_tpu.ops.fused_train import (
             build_fused_vanilla_train_step,
         )
@@ -138,6 +157,25 @@ def build_variant(name, scene, batch):
     else:
         ts = step_lib.build_train_step(model, cfg, donate=False)
     return cfg, model, state, ts, batch
+
+
+def check_step_loss(cfg, model, state, batch):
+    """|loss(one-pass step) - loss(XLA step)| from identical params/batch,
+    both deterministic (perturb=0) — the hardware-truth guard for steps
+    whose gradients never go through jax.grad (the megakernel)."""
+    import jax
+
+    from consistentnerf_tpu.ops import fused_onepass
+    from consistentnerf_tpu.train import step as step_lib
+
+    det = cfg.replace(perturb=0.0)
+    key = jax.random.PRNGKey(7)
+    op_step = fused_onepass.build_onepass_vanilla_train_step(det,
+                                                            donate=False)
+    xla = step_lib.build_train_step(model, det, donate=False)
+    _, st_v = op_step(state, batch, key)
+    _, st_x = xla(state, batch, key)
+    return abs(float(st_v["loss"]) - float(st_x["loss"]))
 
 
 def check_forward(name, cfg, model, state, batch):
@@ -184,7 +222,7 @@ def time_variant(name, state, ts, batch, n_steps=20, trials=3):
         loss = float(stats["loss"])
         dt = time.perf_counter() - t0
         best = min(best, dt / n_steps)
-    return best, loss
+    return best, loss, state
 
 
 def run_train_variants(names):
@@ -203,7 +241,17 @@ def run_train_variants(names):
         t_start = time.time()
         cfg, model, state, ts, vbatch = build_variant(name, scene, batch)
         err, derr = check_forward(name, cfg, model, state, vbatch)
-        ms, loss = time_variant(name, state, ts, vbatch)
+        ms, loss, state = time_variant(name, state, ts, vbatch)
+        # Loss-equality guard at the TRAINED state: at random init the
+        # fine-level resampling amplifies fp rounding into bin flips, so
+        # XLA-vs-kernel loss diffs there measure sampling noise, not bugs.
+        loss_err = None
+        if cfg.use_onepass_train:
+            try:
+                loss_err = check_step_loss(cfg, model, state, vbatch)
+            except Exception as e:  # XLA ref step can OOM at big batches
+                print(f"{name}: check_step_loss failed: {str(e)[:200]}",
+                      flush=True)
         results[name] = dict(
             ms_per_step=round(ms * 1e3, 2),
             rays_per_sec=round(vbatch["rgb"].shape[0] / ms, 0),
@@ -212,6 +260,8 @@ def run_train_variants(names):
             final_loss=round(loss, 5),
             total_wall_s=round(time.time() - t_start, 1),
         )
+        if loss_err is not None:
+            results[name]["step_loss_err_vs_xla"] = round(loss_err, 6)
         print(name, json.dumps(results[name]), flush=True)
     return results
 
@@ -271,7 +321,7 @@ def run_mip_variants(names):
             ts = build_fused_mip_train_step(cfg, donate=False)
         else:
             ts = step_lib.build_train_step(model, cfg, donate=False)
-        ms, loss = time_variant(name, state, ts, batch)
+        ms, loss, _ = time_variant(name, state, ts, batch)
         results[name] = dict(
             ms_per_step=round(ms * 1e3, 2),
             rays_per_sec=round(n_rays / ms, 0),
