@@ -210,8 +210,10 @@ def bench_mip() -> dict:
         compute_mono_depth_metrics=True,
         dataset_type="blender",
         # Transposed fused mip step: 36.2 vs 46.4 ms XLA on v5e
-        # (tools/ab_bench.py mip_xla vs mip_fused).
+        # (tools/ab_bench.py mip_xla vs mip_fused); one-pass megakernel
+        # on top where supported.
         use_fused_train=True,
+        use_onepass_train=True,
         fused_tile=1024,
     )
     scene = _scene()
@@ -221,9 +223,15 @@ def bench_mip() -> dict:
     batch = batcher.next_batch()
     n_rays = batch["rgb"].shape[0]
     state = loop_lib.init_state(cfg, model, batch)
+    from consistentnerf_tpu.ops import fused_onepass
     from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
 
-    train_step = build_fused_mip_train_step(cfg, mesh=mesh)
+    if cfg.use_onepass_train and fused_onepass.mip_onepass_supported(cfg):
+        train_step = fused_onepass.build_onepass_mip_train_step(
+            cfg, mesh=mesh
+        )
+    else:
+        train_step = build_fused_mip_train_step(cfg, mesh=mesh)
     key = jax.random.PRNGKey(0)
     sharded = shard_batch(batch, mesh)
     state, stats = train_step(state, sharded, key)

@@ -83,23 +83,25 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
         and 3 * cfg.multires <= 60
         and 3 * cfg.multires_views <= 60
     )
-    # Transposed fused mip step: 36.2 vs 46.4 ms on v5e. Requires
-    # disable_normals (per-point density grads stay on the XLA path).
-    mip_ok = (
+    # Transposed fused mip kernels: 36.2 vs 46.4 ms on v5e.
+    mip_render_ok = (
         cfg.backbone == "mipnerf"
-        and cfg.disable_normals
         and cfg.stop_level_grad
         and cfg.min_deg_point == 0
         and 3 * cfg.max_deg_point <= 60
     )
+    # The TRAIN step additionally requires disable_normals (the normals
+    # forward has no VJP rule); the render path computes them in-kernel.
+    mip_ok = mip_render_ok and cfg.disable_normals
     # Gate on the live device list, not default_backend(): after a
     # mid-process jax_platforms=cpu switch default_backend() can still
     # report the accelerator (same check as ops.fused_mlp.auto_interpret).
     all_cpu = all(d.platform == "cpu" for d in jax.devices())
-    if all_cpu or not (vanilla_ok or mip_ok):
+    if all_cpu or not (vanilla_ok or mip_render_ok):
         return cfg
     updates = {}
-    if "use_fused_train" not in explicit and not cfg.use_fused_train:
+    if ("use_fused_train" not in explicit and not cfg.use_fused_train
+            and (vanilla_ok or mip_ok)):
         updates["use_fused_train"] = True
         if "fused_tile" not in explicit:
             updates["fused_tile"] = 1024

@@ -30,10 +30,13 @@ scratch across the sequential grid, exactly like fused_mlp_v2. means/covs
 param-independent in both train levels, models/mipnerf.py:82-93), so
 input cotangents are zero.
 
-Normals (`disable_normals=False`) need d(density)/d(means) per point and
-stay on the XLA path; the fused step requires cfg.disable_normals (the
-config default, and normals feed no reference loss — they are eval/vis
-only, RegNeRF/train.py:97-241).
+Normals (`disable_normals=False`) need d(density)/d(means) per point:
+`fused_mip_mlp_normals_T` computes the analytic dx walk INSIDE the
+forward kernel (density-head cotangent back through the relu trunk, then
+the PE's closed-form Jacobian) while activations are still VMEM-resident
+— rows 4:7 of its [7, N] output. The TRAIN step still requires
+cfg.disable_normals (normals feed no reference loss — eval/vis only,
+RegNeRF/train.py:97-241); the render path supports both.
 """
 
 from __future__ import annotations
@@ -281,8 +284,49 @@ def _mip_aligned_forward(means, covs, views, ops, *, net_depth, skip_layer,
         density = _dot(h, ops[idx["wd"]]) + ops[idx["bd"]]
         rgb = _dot(hv, ops[idx["wr"]]) + ops[idx["br"]]
         out = jnp.concatenate([rgb, density], axis=-1)
-    res = dict(sc=sc, vsc=vsc, acts=acts, bneck=bneck, hv=hv)
+    res = dict(sc=sc, vsc=vsc, acts=acts, bneck=bneck, hv=hv,
+               p=p, damp=damp)
     return out, res
+
+
+def _safe_cos(x):
+    """Derivative of _safe_sin: cos of the same range-reduced argument."""
+    return jnp.cos(jnp.where(jnp.abs(x) < _SAFE_T, x, x % _SAFE_T))
+
+
+def _mip_density_dmeans(res, ops, *, net_depth, skip_layer, compute_dtype):
+    """d(raw_density)/d(means) per point, [3, T], from forward residuals.
+
+    The analytic dx walk the normals need (`models/mlp.py:128-148`, ref
+    `RegNeRF/internal/models.py:244-262`): density-head cotangent back
+    through the relu trunk, accumulated into the packed-PE register
+    wherever a layer consumed it, then through the PE's closed-form
+    Jacobian d sc/d means = damp * cos(p + B) * F. Trunk-only (~1x
+    forward-FLOPs of the trunk); the view branch never feeds density.
+    """
+    cd = compute_dtype
+    idx, layers, _ = _op_index(net_depth, skip_layer)
+    wd = ops[idx["wd"]]  # [W, 1]
+    t = res["acts"][-1].shape[0]
+    g_h = jnp.broadcast_to(
+        wd.astype(jnp.float32).T, (t, wd.shape[0])
+    )
+    g_sc = jnp.zeros_like(res["p"])
+    for i in reversed(range(net_depth)):
+        d = layers[i]
+        g_pre = g_h * (res["acts"][i].astype(jnp.float32) > 0)
+        g_pre_c = g_pre.astype(cd)
+        if "wsc" in d:
+            g_sc = g_sc + _dot(g_pre_c, ops[d["wsc"]].T)
+        if i > 0:
+            g_h = _dot(g_pre_c, ops[d["wh"]].T) if "wh" in d else \
+                jnp.zeros_like(g_h)
+    g_p = g_sc * res["damp"] * _safe_cos(res["p"] + _phase_bias())
+    return jax.lax.dot_general(
+        ops[idx["F"]], g_p.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
@@ -290,11 +334,22 @@ def _mip_aligned_backward(g, means, covs, views, ops, *, net_depth,
     """Recompute forward; return grads for the aligned operand list
     (None for the F/F2/Fv constants). transposed=True: means/covs/views
     are [3, T] and g is [4, T]."""
-    cd = compute_dtype
     _, r = _mip_aligned_forward(
         means, covs, views, ops, net_depth=net_depth,
-        skip_layer=skip_layer, compute_dtype=cd, transposed=transposed,
+        skip_layer=skip_layer, compute_dtype=compute_dtype,
+        transposed=transposed,
     )
+    return _mip_aligned_backward_from_res(
+        g, r, ops, net_depth=net_depth, skip_layer=skip_layer,
+        compute_dtype=compute_dtype, transposed=transposed,
+    )
+
+
+def _mip_aligned_backward_from_res(g, r, ops, *, net_depth, skip_layer,
+                                   compute_dtype, transposed=False):
+    """Backward walk on saved forward residuals `r` (the one-pass
+    megakernel keeps them VMEM-resident instead of recomputing)."""
+    cd = compute_dtype
     idx, layers, _ = _op_index(net_depth, skip_layer)
     grads = [None] * len(ops)
 
@@ -540,8 +595,13 @@ def _pad_cols(x, n):
 
 
 def _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth, skip_layer,
-                  num_freqs, deg_view, tile, interpret, compute_dtype):
-    """Transposed-stream forward: means/covs/views [3, N] -> raw [4, N]."""
+                  num_freqs, deg_view, tile, interpret, compute_dtype,
+                  with_normals=False):
+    """Transposed-stream forward: means/covs/views [3, N] -> raw [4, N].
+
+    with_normals appends d(raw_density)/d(means) as rows 4:7 (the
+    normals' analytic dx walk, computed in-kernel on the still-resident
+    activations) -> [7, N]."""
     interpret = fm.auto_interpret(interpret)
     if not interpret:
         # Mosaic requires the lane (last) block dim be a multiple of 128.
@@ -552,15 +612,22 @@ def _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth, skip_layer,
     n_pad = -(-n // tile) * tile
     args = [_pad_cols(x, n_pad) for x in (means_T, covs_T, views_T)]
     grid = (n_pad // tile,)
+    out_rows = 7 if with_normals else 4
 
     def kernel(m_ref, c_ref, v_ref, *refs):
         *op_refs, out_ref = refs
         vals = [r[:] for r in op_refs]
-        out, _ = _mip_aligned_forward(
+        out, r = _mip_aligned_forward(
             m_ref[:], c_ref[:], v_ref[:], vals, net_depth=net_depth,
             skip_layer=skip_layer, compute_dtype=compute_dtype,
             transposed=True,
         )
+        if with_normals:
+            dmeans = _mip_density_dmeans(
+                r, vals, net_depth=net_depth, skip_layer=skip_layer,
+                compute_dtype=compute_dtype,
+            )
+            out = jnp.concatenate([out, dmeans], axis=0)
         out_ref[:] = out
 
     def _tspec(rows):
@@ -571,8 +638,8 @@ def _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth, skip_layer,
         kernel,
         grid=grid,
         in_specs=[_tspec(3)] * 3 + [_whole(w) for w in ops],
-        out_specs=_tspec(4),
-        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        out_specs=_tspec(out_rows),
+        out_shape=jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FWD_VMEM_LIMIT,
         ),
@@ -696,6 +763,30 @@ def _vjp_bwd_T(net_depth, skip_layer, num_freqs, deg_view, tile, interpret,
 
 
 fused_mip_mlp_train_T.defvjp(_vjp_fwd_T, _vjp_bwd_T)
+
+
+def fused_mip_mlp_normals_T(
+    weights: Sequence[jnp.ndarray],
+    means_T: jnp.ndarray,
+    covs_T: jnp.ndarray,
+    views_T: jnp.ndarray,
+    net_depth: int = 8,
+    skip_layer: int = 4,
+    num_freqs: int = 16,
+    deg_view: int = 4,
+    tile: int = TILE,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Forward with in-kernel normals: [7, N] = [rgb_raw(3),
+    density_raw(1), d(raw_density)/d(means)(3)].
+
+    Not differentiable (no VJP rule) — the render/eval path for
+    disable_normals=False configs; normals feed no reference loss
+    (RegNeRF/train.py:97-241)."""
+    return _fwd_pallas_T(weights, means_T, covs_T, views_T, net_depth,
+                         skip_layer, num_freqs, deg_view, tile, interpret,
+                         compute_dtype, with_normals=True)
 
 
 @functools.partial(

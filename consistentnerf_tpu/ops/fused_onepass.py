@@ -69,6 +69,20 @@ def _seg_excl_prod(v, seg):
     return jnp.where(pos >= 1, excl, 1.0)
 
 
+def _seg_excl_sum(u, seg):
+    """Per-segment exclusive prefix sum: out_i = sum_{j<i} u_j."""
+    t = u.shape[-1]
+    pos = _lane_pos(t, seg)
+    acc = u
+    k = 1
+    while k < seg:
+        shifted = jnp.roll(acc, k, axis=-1)
+        acc = acc + jnp.where(pos >= k, shifted, 0.0)
+        k *= 2
+    excl = jnp.roll(acc, 1, axis=-1)
+    return jnp.where(pos >= 1, excl, 0.0)
+
+
 def _seg_rev_excl_sum(u, seg):
     """Per-segment exclusive suffix sum: out_i = sum_{j>i} u_j."""
     t = u.shape[-1]
@@ -287,6 +301,270 @@ def onepass_level_T(
     d_weights = v2._recombine_grads(aligned_grads, weights, net_depth,
                                     skips, multires, multires_views)
     return out_rows, d_weights
+
+
+def _mip_composite_fwd(raw, tmid, delta, tlo, thi, seg, white_bkgd,
+                       rgb_padding, density_bias):
+    """In-kernel mip compositing (core.rendering.compute_alpha_weights +
+    volumetric_rendering's rgb/distance_mean, mip.py:195-294 semantics)
+    on [rows, T]: raw [4, T] MLP heads, tmid/delta per-point rows,
+    tlo/thi per-ray clip bounds. Includes the head activations
+    (sigmoid+rgb_padding, softplus density)."""
+    s_rgb = jax.nn.sigmoid(raw[:3])
+    c = s_rgb * (1.0 + 2.0 * rgb_padding) - rgb_padding
+    x_d = raw[3:4] + density_bias
+    density = jax.nn.softplus(x_d)
+    sigd = jax.nn.sigmoid(x_d)
+    dd = density * delta
+    alpha = 1.0 - jnp.exp(-dd)
+    trans = jnp.exp(-_seg_excl_sum(dd, seg))
+    w = alpha * trans
+
+    acc = _seg_total(w, seg)
+    rgb_map = jnp.concatenate(
+        [_seg_total(w * c[i: i + 1], seg) for i in range(3)], axis=0
+    )
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc)
+    swt = _seg_total(w * tmid, seg)
+    acc_s = jnp.maximum(acc, 1e-37)
+    valid = acc > 0
+    # acc == 0 -> 0/0 nan -> nan_to_num(inf) -> clipped to thi in the
+    # XLA chain (rendering.volumetric_rendering:166-170); branch-free
+    # equivalent here.
+    dist_u = jnp.where(valid, swt / acc_s, thi)
+    dist = jnp.clip(dist_u, tlo, thi)
+    saved = dict(s_rgb=s_rgb, c=c, sigd=sigd, alpha=alpha, trans=trans,
+                 w=w, delta=delta, tmid=tmid, acc_s=acc_s,
+                 dist_u=dist_u, valid=valid, tlo=tlo, thi=thi)
+    return rgb_map, dist, acc, w, saved
+
+
+def _mip_composite_bwd(d_rgb, d_dist, saved, seg, white_bkgd, rgb_padding):
+    """VJP of _mip_composite_fwd into the raw MLP heads.
+
+    d_rgb: [3, T] per-ray rgb_map cotangent (broadcast per point);
+    d_dist: [1, T] distance_mean cotangent. Returns d_raw [4, T].
+    """
+    c, w, trans, alpha = (saved["c"], saved["w"], saved["trans"],
+                          saved["alpha"])
+    d_acc = -jnp.sum(d_rgb, axis=0, keepdims=True) if white_bkgd else 0.0
+    in_rng = ((saved["dist_u"] > saved["tlo"])
+              & (saved["dist_u"] < saved["thi"])
+              & saved["valid"])
+    d_su = jnp.where(in_rng, d_dist, 0.0)
+    d_w = (jnp.sum(d_rgb * c, axis=0, keepdims=True)
+           + d_su * (saved["tmid"] - saved["dist_u"]) / saved["acc_s"]
+           + d_acc)
+    # w_i = alpha_i * trans_i with trans_i = exp(-sum_{j<i} dd_j):
+    # d/d dd_i = d_w_i trans_i e^{-dd_i} - sum_{j>i} d_w_j w_j.
+    d_dd = (d_w * trans * (1.0 - alpha)
+            - _seg_rev_excl_sum(d_w * w, seg))
+    d_raw_d = d_dd * saved["delta"] * saved["sigd"]
+    d_raw_rgb = (w * d_rgb * (1.0 + 2.0 * rgb_padding)
+                 * saved["s_rgb"] * (1.0 - saved["s_rgb"]))
+    return jnp.concatenate([d_raw_rgb, d_raw_d], axis=0)
+
+
+def onepass_mip_level_T(
+    weights: Sequence[jnp.ndarray],
+    means_T: jnp.ndarray,    # [3, N*S]
+    covs_T: jnp.ndarray,     # [3, N*S] diagonal covariances
+    views_T: jnp.ndarray,    # [3, N*S]
+    tmid_row: jnp.ndarray,   # [1, N*S] fencepost midpoints
+    delta_row: jnp.ndarray,  # [1, N*S] (t1-t0)*||d||
+    tlo_row: jnp.ndarray,    # [1, N*S] per-ray t_vals[0] (clip lo)
+    thi_row: jnp.ndarray,    # [1, N*S] per-ray t_vals[-1] (clip hi)
+    coeff_rgb: jnp.ndarray,  # [1, N*S] d loss/d rgb = coeff*(rgb-t)
+    target_rows: jnp.ndarray,  # [3, N*S]
+    coeff_depth: jnp.ndarray,  # [1, N*S] d loss/d dist = coeff*(d-p)
+    prior_row: jnp.ndarray,    # [1, N*S]
+    *,
+    seg: int,
+    net_depth: int = 8,
+    skip_layer: int = 4,
+    num_freqs: int = 16,
+    deg_view: int = 4,
+    tile: int = 1024,
+    white_bkgd: bool = False,
+    rgb_padding: float = 0.001,
+    density_bias: float = -1.0,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """One-pass fwd+composite+loss-cotangent+bwd for one mip level.
+
+    Returns (out_rows [6, N*S] fp32, d_weights flax-layout list).
+    out_rows: 0-2 rgb (per-segment broadcast), 3 distance_mean, 4 acc,
+    5 per-point alpha-weight (for resample_along_rays).
+    """
+    from consistentnerf_tpu.ops import fused_mip as fmip
+
+    interpret = fm.auto_interpret(interpret)
+    ops = fmip.prepare_mip_aligned(weights, net_depth, skip_layer,
+                                   num_freqs, deg_view, compute_dtype)
+    n = means_T.shape[1]
+    assert n % seg == 0, (n, seg)
+    tile_c = _tile_cols(seg, tile) if not interpret else seg
+    n_pad = -(-n // tile_c) * tile_c
+    rows_in = [means_T, covs_T, views_T, tmid_row, delta_row, tlo_row,
+               thi_row, coeff_rgb, target_rows, coeff_depth, prior_row]
+    rows_in = [v2._pad_cols(r, n_pad) for r in rows_in]
+    grid = (n_pad // tile_c,)
+    trainable = list(range(3, len(ops)))
+
+    def kernel(m_ref, c_ref, v_ref, tm_ref, dl_ref, lo_ref, hi_ref,
+               crgb_ref, tgt_ref, cd_ref, pr_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_ref = refs[len(ops)]
+        grad_refs = refs[len(ops) + 1: len(ops) + 1 + len(trainable)]
+        acc_refs = refs[len(ops) + 1 + len(trainable):]
+        vals = [r[:] for r in op_refs]
+
+        raw, res = fmip._mip_aligned_forward(
+            m_ref[:], c_ref[:], v_ref[:], vals, net_depth=net_depth,
+            skip_layer=skip_layer, compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        rgb_map, dist, acc, w, saved = _mip_composite_fwd(
+            raw, tm_ref[:], dl_ref[:], lo_ref[:], hi_ref[:], seg,
+            white_bkgd, rgb_padding, density_bias,
+        )
+        out_ref[:] = jnp.concatenate([rgb_map, dist, acc, w], axis=0)
+
+        d_rgb = crgb_ref[:] * (rgb_map - tgt_ref[:])
+        d_dist = cd_ref[:] * (dist - pr_ref[:])
+        d_raw = _mip_composite_bwd(d_rgb, d_dist, saved, seg,
+                                   white_bkgd, rgb_padding)
+        tile_grads = fmip._mip_aligned_backward_from_res(
+            d_raw, res, vals, net_depth=net_depth,
+            skip_layer=skip_layer, compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        is_first = pl.program_id(0) == 0
+        is_last = pl.program_id(0) == pl.num_programs(0) - 1
+        for slot, (a_ref, g_ref) in enumerate(zip(acc_refs, grad_refs)):
+            tg = tile_grads[trainable[slot]]
+
+            @pl.when(is_first)
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = tg
+
+            @pl.when(jnp.logical_not(is_first))
+            def _(a_ref=a_ref, tg=tg):
+                a_ref[:] = a_ref[:] + tg
+
+            @pl.when(is_last)
+            def _(a_ref=a_ref, g_ref=g_ref):
+                g_ref[:] = a_ref[:]
+
+    row_spec3 = pl.BlockSpec((3, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    row_spec1 = pl.BlockSpec((1, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec3, row_spec3, row_spec3, row_spec1, row_spec1,
+                  row_spec1, row_spec1, row_spec1, row_spec3, row_spec1,
+                  row_spec1]
+        + [fmip._whole(wv) for wv in ops],
+        out_specs=(
+            pl.BlockSpec((6, tile_c), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(fmip._whole(ops[t]) for t in trainable),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, n_pad), jnp.float32),
+        ) + tuple(
+            jax.ShapeDtypeStruct(ops[t].shape, jnp.float32)
+            for t in trainable
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(ops[t].shape, jnp.float32) for t in trainable
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*rows_in, *ops)
+
+    out_rows = outs[0][:, :n]
+    aligned_grads = [None, None, None] + list(outs[1:])
+    d_weights = fmip._recombine_mip_grads(aligned_grads, weights,
+                                          net_depth, skip_layer,
+                                          num_freqs, deg_view)
+    return out_rows, d_weights
+
+
+def render_level_T(
+    weights: Sequence[jnp.ndarray],
+    pts_T: jnp.ndarray,    # [3, N*S]
+    views_T: jnp.ndarray,  # [3, N*S]
+    z_row: jnp.ndarray,    # [1, N*S] per-point depth along the ray
+    dn_row: jnp.ndarray,   # [1, N*S] ||direction|| per ray
+    *,
+    seg: int,
+    net_depth: int = 8,
+    skips: tuple = (4,),
+    multires: int = 10,
+    multires_views: int = 4,
+    tile: int = 1024,
+    white_bkgd: bool = False,
+    interpret: bool | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Forward-only megakernel: MLP forward + in-kernel compositing.
+
+    The deterministic render path (`run_nerf_view.py:140-180` test-time
+    chain) spends its HBM budget writing the raw [4, N*S] MLP output and
+    re-reading it in the XLA compositing pass; compositing inside the
+    kernel reduces the per-level output to six per-ray rows. Returns
+    out_rows [6, N*S] fp32: 0-2 rgb_map (per-segment broadcast),
+    3 depth, 4 acc, 5 per-point compositing weight (for sample_pdf).
+    """
+    interpret = fm.auto_interpret(interpret)
+    ops = v2.prepare_aligned(weights, net_depth, skips, multires,
+                             multires_views, compute_dtype)
+    n = pts_T.shape[1]
+    assert n % seg == 0, (n, seg)
+    tile_c = _tile_cols(seg, tile) if not interpret else seg
+    n_pad = -(-n // tile_c) * tile_c
+    rows_in = [v2._pad_cols(r, n_pad)
+               for r in (pts_T, views_T, z_row, dn_row)]
+    grid = (n_pad // tile_c,)
+
+    def kernel(pts_ref, views_ref, z_ref, dn_ref, *refs):
+        op_refs = refs[: len(ops)]
+        out_ref = refs[len(ops)]
+        vals = [r[:] for r in op_refs]
+        raw, _ = v2._aligned_forward(
+            pts_ref[:], views_ref[:], vals, net_depth=net_depth,
+            skips=tuple(skips), compute_dtype=compute_dtype,
+            transposed=True,
+        )
+        rgb_map, depth, acc, w, _ = _composite_fwd(
+            raw, z_ref[:], dn_ref[:], seg, white_bkgd
+        )
+        out_ref[:] = jnp.concatenate([rgb_map, depth, acc, w], axis=0)
+
+    row_spec3 = pl.BlockSpec((3, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    row_spec1 = pl.BlockSpec((1, tile_c), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec3, row_spec3, row_spec1, row_spec1]
+        + [v2._whole(wv) for wv in ops],
+        out_specs=pl.BlockSpec((6, tile_c), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((6, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*rows_in, *ops)
+    return out[:, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -642,6 +920,350 @@ def build_onepass_vanilla_train_step(
         stats["grad_norm"] = losses_lib.tree_norm(grads)
         stats["lr"] = mathx.exp_lr_decay(
             state.step, cfg.lrate, 0.1, cfg.lrate_decay * 1000
+        )
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       opt_state=opt_state),
+            stats,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Mip train step built on the megakernel
+# ---------------------------------------------------------------------------
+
+
+def mip_onepass_supported(cfg) -> bool:
+    """Whether the mip one-pass step computes cfg's exact loss.
+
+    The per-ray data terms (lossmult RGB MSE, masked depth MSE,
+    RegNeRF/train.py:120-156) have parameter-independent global
+    denominators and run in-kernel; the MiDaS patch term touches only
+    the first 4x16^2 rays (consistency/monodepth.py contract) and the
+    TV regularizer only the random-pose rays — both keep the ordinary
+    differentiable fused path. Extras (disp/normal metrics) and density
+    noise change the kernel's output contract and fall back.
+    """
+    return (
+        cfg.backbone == "mipnerf"
+        and cfg.disable_normals
+        and cfg.stop_level_grad
+        and cfg.min_deg_point == 0
+        and 3 * cfg.max_deg_point <= 60
+        and cfg.density_noise == 0
+        and not cfg.compute_disp_metrics
+        and not cfg.compute_normal_metrics
+    )
+
+
+def _mip_grad_dict(d_list, params_branch, net_depth):
+    """flax-layout flat grad list -> the MipMLP branch's grad dict."""
+    out = {}
+    for i in range(net_depth + 4):
+        name = f"Dense_{i}"
+        out[name] = {
+            "kernel": d_list[2 * i],
+            "bias": d_list[2 * i + 1].reshape(
+                params_branch[name]["bias"].shape
+            ),
+        }
+    return out
+
+
+def build_onepass_mip_train_step(
+    cfg,
+    tx=None,
+    donate: bool = True,
+    tile=None,
+    mesh=None,
+):
+    """train_step(state, batch, rng) -> (state, stats); the mip/RegNeRF
+    loss (train.losses.mip_losses, RegNeRF/train.py:97-241) with every
+    level of the data rays running the one-pass megakernel and the
+    MiDaS-patch / random-pose-TV rays on the differentiable fused path.
+    """
+    import optax
+
+    from consistentnerf_tpu.core import mathx, sampling
+    from consistentnerf_tpu.models.mlp import MipMLP
+    from consistentnerf_tpu.ops import fused_mip as fmip
+    from consistentnerf_tpu.ops.fused_train import fused_mip_forward
+    from consistentnerf_tpu.train import losses as losses_lib
+    from consistentnerf_tpu.train.state import TrainState, make_optimizer
+
+    assert mip_onepass_supported(cfg), (
+        "mip one-pass step unsupported for this config; use "
+        "build_fused_mip_train_step"
+    )
+    tx = tx or make_optimizer(cfg)
+    tile = tile or cfg.fused_tile
+    skip_layer, deg_view = MipMLP.skip_layer, MipMLP.deg_view
+    rgb_padding, density_bias = MipMLP.rgb_padding, MipMLP.density_bias
+    n_levels = cfg.mip_num_levels
+    level_mults = [cfg.coarse_loss_mult] * (n_levels - 1) + [1.0]
+    # The MiDaS term reads exactly the first 4x16^2 rays
+    # (losses.mip_losses -> midas_patch_loss(..., 16, 4)).
+    p_rays = 4 * 16 * 16 if cfg.compute_mono_depth_metrics else 0
+
+    level_kw = dict(
+        net_depth=cfg.netdepth, skip_layer=skip_layer,
+        num_freqs=cfg.max_deg_point, deg_view=deg_view, tile=tile,
+        white_bkgd=cfg.white_bkgd, rgb_padding=rgb_padding,
+        density_bias=density_bias,
+        compute_dtype=jnp.dtype(cfg.compute_dtype).type,
+    )
+    sharded = mesh is not None and mesh.size > 1
+
+    def mega_level(ws, seg, *rows):
+        call = functools.partial(
+            lambda w, *r: onepass_mip_level_T(w, *r, seg=seg, **level_kw)
+        )
+        if sharded:
+            call = _shard_onepass(call, mesh)
+        out_rows, d_ws = call(ws, *rows)
+        return out_rows, list(d_ws)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        key, key2 = jax.random.split(rng)
+
+        frac = state.step / cfg.total_iters
+        resample_padding = mathx.log_lerp(
+            frac, cfg.resample_padding_init, cfg.resample_padding_final
+        )
+        if cfg.depth_tvnorm_decay:
+            tvnorm_loss_weight = mathx.compute_tvnorm_weight(
+                state.step, cfg.depth_tvnorm_maxstep,
+                cfg.depth_tvnorm_loss_mult_start,
+                cfg.depth_tvnorm_loss_mult_end,
+            )
+        else:
+            tvnorm_loss_weight = cfg.depth_tvnorm_loss_mult
+        render_random = (
+            (cfg.depth_tvnorm_loss_mult != 0.0) or cfg.depth_tvnorm_decay
+        ) and ("rays_random" in batch)
+
+        rays = batch["rays"]
+        n = rays.origins.shape[0]
+        p = p_rays
+        s = cfg.mip_num_samples
+
+        lossmult = rays.lossmult[:, 0]
+        if cfg.disable_multiscale_loss:
+            lossmult = jnp.ones_like(lossmult)
+        denom_rgb = jnp.sum(lossmult) + 1e-4
+
+        # --- per-ray cotangent coefficient bases (level weight applied
+        # per level); see losses.mip_losses rgb_mse/depth_mse ---
+        base_crgb = 2.0 * lossmult / denom_rgb
+        if cfg.compute_depth_metrics:
+            if cfg.dataset_type == "dtu" or cfg.use_hardmask:
+                mask = batch["masks"]
+                if cfg.dataset_type == "llff":
+                    scale = batch["bounds"].max()
+                elif cfg.dataset_type == "blender":
+                    scale = cfg.far
+                else:
+                    scale = 1.0
+            else:
+                mask = jnp.ones((n,), jnp.float32)
+                scale = (batch["bounds"].max()
+                         if cfg.dataset_type == "llff" else 1.0)
+            base_cd = 2.0 * mask * mask / (scale**2 * n)
+            prior = batch["dpts"]
+        else:
+            base_cd = jnp.zeros((n,), jnp.float32)
+            prior = jnp.zeros((n,), jnp.float32)
+
+        target = batch["rgb"][..., :3]
+
+        # ---------------- mega path: data rays [p:] ----------------
+        rays_r = jax.tree_util.tree_map(lambda x: x[p:], rays)
+        params = state.params
+        ws = tuple(
+            jnp.asarray(w)
+            for w in fmip.flatten_mip_params(params, cfg.netdepth)
+        )
+        nr = n - p
+        dnorm_r = jnp.linalg.norm(rays_r.directions, axis=-1)
+        views_r = jnp.broadcast_to(
+            rays_r.viewdirs.T[:, :, None], (3, nr, s)
+        ).reshape(3, nr * s)
+
+        def static_rows(t_vals, lw):
+            tmid = 0.5 * (t_vals[:, :-1] + t_vals[:, 1:])
+            delta = (t_vals[:, 1:] - t_vals[:, :-1]) * dnorm_r[:, None]
+            return (
+                tmid.reshape(1, nr * s),
+                delta.reshape(1, nr * s),
+                _rep_row(t_vals[:, 0], s),
+                _rep_row(t_vals[:, -1], s),
+                _rep_row(lw * base_crgb[p:], s),
+                _rep_row(target[p:], s),
+                _rep_row(0.1 * lw * base_cd[p:], s),
+                _rep_row(prior[p:], s),
+            )
+
+        t_vals = None
+        w_render = None
+        mega_out = []
+        dw_total = None
+        for lvl in range(n_levels if nr > 0 else 0):
+            lkey = (jax.random.fold_in(key, lvl)
+                    if cfg.randomized else None)
+            if lvl == 0:
+                t_vals, samples = sampling.sample_along_rays(
+                    lkey, rays_r.origins, rays_r.directions, rays_r.radii,
+                    s, rays_r.near, rays_r.far, cfg.genspace_fn,
+                    cfg.ray_shape, cfg.single_jitter, transposed=True,
+                )
+            else:
+                t_vals, samples = sampling.resample_along_rays(
+                    lkey, rays_r.origins, rays_r.directions, rays_r.radii,
+                    t_vals, w_render, cfg.ray_shape, cfg.stop_level_grad,
+                    resample_padding, cfg.single_jitter, transposed=True,
+                )
+            means_T, covs_T = samples
+            if cfg.disable_integration:
+                covs_T = jnp.zeros_like(covs_T)
+            rows = static_rows(t_vals, level_mults[lvl])
+            out_rows, dws = mega_level(
+                ws, s, means_T.reshape(3, nr * s),
+                covs_T.reshape(3, nr * s), views_r, *rows,
+            )
+            w_render = out_rows[5].reshape(nr, s)
+            per_ray = out_rows[:, ::s]
+            mega_out.append(dict(
+                rgb=per_ray[:3].T, distance_mean=per_ray[3],
+                acc=per_ray[4],
+            ))
+            dw_total = dws if dw_total is None else [
+                a + b for a, b in zip(dw_total, dws)
+            ]
+        if nr == 0:
+            # Every ray is a MiDaS patch ray (tiny batches): the whole
+            # step runs on the differentiable path.
+            dw_total = [jnp.zeros_like(w) for w in ws]
+            mega_out = [dict(
+                rgb=jnp.zeros((0, 3)), distance_mean=jnp.zeros((0,)),
+                acc=jnp.zeros((0,)),
+            ) for _ in range(n_levels)]
+
+        # ---------- differentiable path: MiDaS patch rays + TV ----------
+        def diff_loss(prms):
+            loss = jnp.array(0.0)
+            patch_out = None
+            if p > 0:
+                rays_p = jax.tree_util.tree_map(lambda x: x[:p], rays)
+                renders_p = fused_mip_forward(
+                    prms, jax.random.fold_in(key, 997)
+                    if cfg.randomized else None,
+                    rays_p, cfg, resample_padding=resample_padding,
+                    compute_extras=False, tile=tile,
+                )
+                patch_out = renders_p
+                for lvl, r in enumerate(renders_p):
+                    lw = level_mults[lvl]
+                    loss = loss + jnp.sum(
+                        lw * base_crgb[:p, None] / 2.0
+                        * (r["rgb"] - target[:p]) ** 2
+                    )
+                    loss = loss + jnp.sum(
+                        0.1 * lw * base_cd[:p] / 2.0
+                        * (r["distance_mean"] - prior[:p]) ** 2
+                    )
+                    mono = losses_lib.midas_patch_loss(
+                        r["distance_mean"].reshape(-1),
+                        batch["mono_dpts"].reshape(-1), 16, 4,
+                    )
+                    if cfg.dataset_type == "blender":
+                        mono = mono * 0.01
+                    loss = loss + 0.1 * lw * mono
+            rr = None
+            if render_random:
+                rr = fused_mip_forward(
+                    prms, key2 if cfg.randomized else None,
+                    batch["rays_random"], cfg,
+                    resample_padding=resample_padding,
+                    compute_extras=True, tile=tile,
+                )
+                ps = cfg.random_patch_size
+                tvw = [cfg.coarse_loss_mult] * (n_levels - 1) + [
+                    tvnorm_loss_weight if cfg.depth_tvnorm_decay
+                    else cfg.depth_tvnorm_loss_mult
+                ]
+                for lvl, r in enumerate(rr):
+                    depth_patches = r[cfg.depth_tvnorm_selector].reshape(
+                        -1, ps, ps, 1
+                    )
+                    opacity_w = (
+                        jax.lax.stop_gradient(
+                            r["acc"].reshape(-1, ps, ps, 1)[:, :-1, :-1]
+                        ) * cfg.depth_tvnorm_mask_weight
+                    )
+                    tv = mathx.compute_tv_norm(
+                        depth_patches, cfg.depth_tvnorm_type, opacity_w
+                    ).mean()
+                    loss = loss + tvw[lvl] * tv
+            if cfg.weight_decay_mult != 0:
+                param_sq = losses_lib.tree_sum(jax.tree_util.tree_map(
+                    lambda z: jnp.sum(z**2), prms
+                ))
+                count = losses_lib.tree_sum(jax.tree_util.tree_map(
+                    lambda z: jnp.prod(jnp.array(z.shape)), prms
+                ))
+                loss = loss + cfg.weight_decay_mult * param_sq / count
+            return loss, (patch_out, rr)
+
+        (_, (patch_out, rr)), grads = jax.value_and_grad(
+            diff_loss, has_aux=True
+        )(params)
+
+        # fold the megakernel's weight grads into the tree
+        import flax.core
+
+        frozen = not isinstance(grads, dict)
+        grads_u = flax.core.unfreeze(grads) if frozen else grads
+        branch = params["params"]
+        mname = "MipMLP_0" if "MipMLP_0" in branch else None
+        pb = branch[mname] if mname else branch
+        mega = _mip_grad_dict(dw_total, pb, cfg.netdepth)
+        gb = grads_u["params"][mname] if mname else grads_u["params"]
+        merged = jax.tree_util.tree_map(lambda a, b: a + b, gb, mega)
+        if mname:
+            grads_u["params"][mname] = merged
+        else:
+            grads_u["params"] = merged
+        grads = flax.core.freeze(grads_u) if frozen else grads_u
+
+        # stats: literally mip_losses on the assembled outputs
+        renderings = []
+        for lvl in range(n_levels):
+            m = mega_out[lvl]
+            if p > 0:
+                pr = patch_out[lvl]
+                renderings.append(dict(
+                    rgb=jnp.concatenate([pr["rgb"], m["rgb"]], 0),
+                    distance_mean=jnp.concatenate(
+                        [pr["distance_mean"], m["distance_mean"]], 0
+                    ),
+                ))
+            else:
+                renderings.append(dict(
+                    rgb=m["rgb"], distance_mean=m["distance_mean"],
+                ))
+        _, stats = losses_lib.mip_losses(
+            renderings, rr, batch, params, cfg, tvnorm_loss_weight
+        )
+        stats["grad_norm"] = losses_lib.tree_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        stats["lr"] = mathx.learning_rate_decay(
+            state.step, cfg.lr_init, cfg.lr_final, cfg.total_iters,
+            cfg.lr_delay_steps, cfg.lr_delay_mult,
         )
         return (
             TrainState(step=state.step + 1, params=new_params,

@@ -27,7 +27,7 @@ from consistentnerf_tpu.ops import fused_mlp as fm
     static_argnames=(
         "num_samples", "num_importance", "multires", "multires_views",
         "net_depth", "white_bkgd", "lindisp", "tile", "interpret",
-        "compute_dtype", "kernel",
+        "compute_dtype", "kernel", "onepass",
     ),
 )
 def fused_render_rays(
@@ -45,8 +45,14 @@ def fused_render_rays(
     interpret: bool | None = None,
     compute_dtype=jnp.float32,
     kernel: str = "v2",
+    onepass: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Deterministic render of a flat Rays batch via the fused kernel."""
+    """Deterministic render of a flat Rays batch via the fused kernel.
+
+    With `onepass` the compositing runs INSIDE the kernel
+    (ops.fused_onepass.render_level_T): each level's HBM output shrinks
+    from the raw [4, N*S] stream to six per-ray rows.
+    """
     p = params["params"] if "params" in params else params
     coarse_p = {"params": p["coarse"]}
     fine_p = {"params": p.get("fine", p["coarse"])}
@@ -55,6 +61,55 @@ def fused_render_rays(
     directions = rays.directions
     viewdirs = rays.viewdirs
     n = origins.shape[0]
+
+    if onepass:
+        from consistentnerf_tpu.ops import fused_onepass as op
+
+        dnorm = jnp.linalg.norm(directions, axis=-1)
+
+        def mega_level(mlp_params, z_vals):
+            s = z_vals.shape[1]
+            ws = [jnp.asarray(w) for w in
+                  fm.flatten_params(mlp_params, True, net_depth)]
+            ws = [w[None, :] if w.ndim == 1 else w for w in ws]
+            pts_T = (
+                origins.T[:, :, None]
+                + directions.T[:, :, None] * z_vals[None]
+            ).reshape(3, n * s)
+            views_T = jnp.broadcast_to(
+                viewdirs.T[:, :, None], (3, n, s)
+            ).reshape(3, n * s)
+            rows = op.render_level_T(
+                ws, pts_T, views_T, z_vals.reshape(1, n * s),
+                op._rep_row(dnorm, s), seg=s, net_depth=net_depth,
+                multires=multires, multires_views=multires_views,
+                tile=tile, white_bkgd=white_bkgd, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+            per_ray = rows[:, ::s]
+            rgb, depth, acc = per_ray[:3].T, per_ray[3], per_ray[4]
+            disp = 1.0 / jnp.maximum(
+                1e-10 * jnp.ones_like(depth), depth / acc
+            )
+            return rgb, disp, acc, rows[5].reshape(n, s), depth
+
+        z_vals = sampling.vanilla_z_vals(
+            rays.near, rays.far, num_samples, lindisp, None
+        )
+        rgb, disp, acc, weights, depth = mega_level(coarse_p, z_vals)
+        out = {}
+        if num_importance > 0:
+            out.update(rgb0=rgb, disp0=disp, acc0=acc, depth0=depth)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sampling.sample_pdf(
+                z_mid, weights[..., 1:-1], num_importance, det=True
+            )
+            z_all = jnp.sort(
+                jnp.concatenate([z_vals, z_samples], -1), -1
+            )
+            rgb, disp, acc, weights, depth = mega_level(fine_p, z_all)
+        out.update(rgb=rgb, disp=disp, acc=acc, depth=depth)
+        return out
 
     transposed = kernel in ("v2", "v2h")
     if transposed:

@@ -178,13 +178,15 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
                       compute_extras=False, tile: int = 1024,
                       interpret: bool | None = None, mesh=None):
     """MipNeRF.__call__ semantics (models/mipnerf.py:41-131) with the MLP
-    evaluated by the aligned fused kernel. Requires cfg.disable_normals
-    (normals need per-point density grads and stay on the XLA path).
-    mesh: see fused_vanilla_forward."""
+    evaluated by the aligned fused kernel. With disable_normals=False the
+    normals' density gradient is computed in-kernel
+    (fused_mip.fused_mip_mlp_normals_T) — that path has no VJP rule, so
+    it is render/eval-only (jax.grad through it fails loudly; the train
+    step asserts disable_normals). mesh: see fused_vanilla_forward."""
     from consistentnerf_tpu.models.mlp import MipMLP
     from consistentnerf_tpu.ops import fused_mip
 
-    assert cfg.disable_normals, "fused mip step requires disable_normals"
+    with_normals = not cfg.disable_normals
     # The custom VJP returns zero cotangents for means/covs, valid only
     # while resampled t_vals are stop-gradient'ed (reference default).
     assert cfg.stop_level_grad, "fused mip step requires stop_level_grad"
@@ -227,7 +229,8 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
             covs_T = jnp.zeros_like(covs_T)
         s = means_T.shape[-1]
         mip_kern = functools.partial(
-            fused_mip.fused_mip_mlp_train_T,
+            fused_mip.fused_mip_mlp_normals_T if with_normals
+            else fused_mip.fused_mip_mlp_train_T,
             net_depth=cfg.netdepth, skip_layer=skip_layer,
             num_freqs=cfg.max_deg_point, deg_view=deg_view, tile=tile,
             interpret=interpret, compute_dtype=cd,
@@ -253,7 +256,19 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
                 jax.random.normal(nkey, raw_density.shape)
             )
         density = jax.nn.softplus(raw_density + density_bias).reshape(n, s)
-        normals = jnp.full((n, s, 3), jnp.nan)
+        if with_normals:
+            # -normalize(d density / d means), with the softplus factor
+            # applied before normalization for exact parity with the XLA
+            # chain (models/mlp.py:128-148; direction-wise the positive
+            # sigmoid factor only matters at the eps floor).
+            g = raw_T[4:7] * jax.nn.sigmoid(raw_density + density_bias)
+            norm = jnp.sqrt(jnp.maximum(
+                jnp.sum(g * g, axis=0, keepdims=True),
+                jnp.finfo(jnp.float32).eps,
+            ))
+            normals = (-g / norm).reshape(3, n, s).transpose(1, 2, 0)
+        else:
+            normals = jnp.full((n, s, 3), jnp.nan)
 
         weights_render, _, _, delta = rendering.compute_alpha_weights(
             density, t_vals, rays.directions
@@ -279,6 +294,9 @@ def build_fused_mip_train_step(
     build_fused_vanilla_train_step."""
     tx = tx or make_optimizer(cfg)
     tile = tile or cfg.fused_tile
+    # The normals forward (fused_mip_mlp_normals_T) has no VJP rule;
+    # normals feed no reference loss, so training keeps them off.
+    assert cfg.disable_normals, "fused mip TRAIN step requires disable_normals"
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

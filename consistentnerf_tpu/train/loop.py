@@ -135,11 +135,19 @@ def train(
                 "disable_normals=true (normals need per-point density "
                 "grads; use the XLA step for normal metrics)"
             )
-        from consistentnerf_tpu.ops.fused_train import (
-            build_fused_mip_train_step,
-        )
+        from consistentnerf_tpu.ops import fused_onepass
 
-        train_step = build_fused_mip_train_step(cfg, mesh=mesh)
+        if (cfg.use_onepass_train
+                and fused_onepass.mip_onepass_supported(cfg)):
+            train_step = fused_onepass.build_onepass_mip_train_step(
+                cfg, mesh=mesh
+            )
+        else:
+            from consistentnerf_tpu.ops.fused_train import (
+                build_fused_mip_train_step,
+            )
+
+            train_step = build_fused_mip_train_step(cfg, mesh=mesh)
     else:
         train_step = step_lib.build_train_step(model, cfg)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())

@@ -81,6 +81,7 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
                     tile=cfg.fused_tile,
                     compute_dtype=jnp.dtype(cfg.compute_dtype).type,
                     kernel=cfg.fused_kernel,
+                    onepass=getattr(cfg, "use_onepass_render", False),
                 )
                 return {
                     "rgb": out["rgb"],
@@ -102,7 +103,7 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
 
     else:
 
-        if getattr(cfg, "use_fused_render", False) and cfg.disable_normals:
+        if getattr(cfg, "use_fused_render", False):
             from consistentnerf_tpu.ops.fused_train import fused_mip_forward
 
             def apply_fn(chunk_rays):

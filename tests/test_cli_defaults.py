@@ -99,6 +99,28 @@ def test_high_multires_falls_back_to_xla(monkeypatch):
     assert not cfg.use_fused_train
 
 
+def test_mip_normals_gets_fused_render_not_train(monkeypatch):
+    """disable_normals=False: the render path computes normals in-kernel
+    (fused_mip_mlp_normals_T) so fused RENDER still auto-enables, but the
+    TRAIN step (no VJP for the normals forward) stays XLA."""
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(
+        Config(backbone="mipnerf", disable_normals=False,
+               compute_dtype="bfloat16"), _Args()
+    )
+    assert cfg.use_fused_render and not cfg.use_fused_train
+
+
+def test_mip_gets_onepass_default(monkeypatch):
+    """The mip backbone picks up use_onepass_train with the fused-train
+    default; train/loop falls back when mip_onepass_supported is false."""
+    _on_accel(monkeypatch)
+    cfg = common.auto_fused_defaults(
+        Config(backbone="mipnerf", disable_normals=True), _Args()
+    )
+    assert cfg.use_fused_train and cfg.use_onepass_train
+
+
 def test_accel_enables_onepass_train(monkeypatch):
     """Accelerator defaults turn on the one-pass megakernel step (the
     48.6 vs 60.3 ms flagship winner); explicit override wins."""

@@ -66,6 +66,67 @@ def test_fused_mip_forward_prod_arch():
                                atol=5e-5, rtol=5e-5)
 
 
+def test_fused_mip_normals_match_flax():
+    """fused_mip_mlp_normals_T rows 4:7 -> normals == the flax MipMLP's
+    per-point value_and_grad normals (models/mlp.py:128-148)."""
+    mlp, params, weights, means, covs, views, cfg = _setup()
+    mlp_n = MipMLP(
+        net_depth=4, net_width=32, skip_layer=2, max_deg_point=6,
+        deg_view=2, disable_normals=False,
+    )
+    rgb_ref, dens_ref, normals_ref = mlp_n.apply(
+        params, None, (means, covs), views
+    )
+    out = fused_mip.fused_mip_mlp_normals_T(
+        weights, means.T, covs.T, views.T, cfg["net_depth"],
+        cfg["skip_layer"], cfg["num_freqs"], cfg["deg_view"], 32, True,
+    )
+    rgb, dens = _activate(out[:4].T, mlp)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dens), np.asarray(dens_ref),
+                               atol=2e-5, rtol=2e-5)
+    g = out[4:7] * jax.nn.sigmoid(out[3] + mlp.density_bias)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=0, keepdims=True),
+                                jnp.finfo(jnp.float32).eps))
+    normals = np.asarray((-g / norm).T)
+    np.testing.assert_allclose(normals, np.asarray(normals_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_mip_render_normals_match_xla():
+    """build_render_fn(mipnerf, use_fused_render=True,
+    disable_normals=False): the in-kernel normals chain matches the XLA
+    render end-to-end (normals rendering included)."""
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import evaluation
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import render as render_lib
+
+    base = dict(backbone="mipnerf", netdepth=2, netwidth=32,
+                mip_num_samples=8, max_deg_point=4, disable_normals=False,
+                N_rand=64, white_bkgd=True, use_tensorboard=False,
+                render_chunk_size=256)
+    scene = synthetic.make_scene(n_views=3, H=16, W=16).to_scene_data()
+    cfg_x = Config(**base)
+    cfg_f = Config(**base, use_fused_render=True, fused_tile=256)
+    model = make_model(cfg_x)
+    batch = MipBatcher(scene, cfg_x).next_batch()
+    state = loop_lib.init_state(cfg_x, model, batch)
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out_x = render_lib.build_render_fn(model, cfg_x, state.params)(rays)
+    out_f = render_lib.build_render_fn(model, cfg_f, state.params)(rays)
+    assert "normals" in out_x and "normals" in out_f
+    for k in ("rgb", "depth", "acc", "normals"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_x[k]), atol=5e-4,
+            rtol=5e-4, err_msg=k,
+        )
+
+
 def test_fused_mip_gradients_match_jax_grad():
     mlp, params, weights, means, covs, views, cfg = _setup()
     weights = tuple(weights)

@@ -126,6 +126,197 @@ def test_onepass_level_matches_composed_oracle():
         )
 
 
+def test_onepass_mip_level_matches_composed_oracle():
+    """onepass_mip_level_T == XLA mip MLP -> compute_alpha_weights ->
+    volumetric_rendering -> per-ray MSE grads."""
+    from consistentnerf_tpu.models.mlp import MipMLP
+    from consistentnerf_tpu.ops import fused_mip as fmip
+
+    net_depth, skip, nf, dv = 4, 2, 6, 2
+    n_rays, seg = 12, 16
+    mlp = MipMLP(net_depth=net_depth, net_width=32, skip_layer=skip,
+                 max_deg_point=nf, deg_view=dv, disable_normals=True)
+    k = jax.random.split(jax.random.PRNGKey(5), 10)
+    means = jax.random.normal(k[0], (n_rays * seg, 3))
+    covs = jax.random.uniform(k[1], (n_rays * seg, 3)) * 0.1
+    views = jax.random.normal(k[2], (n_rays * seg, 3))
+    views = views / jnp.linalg.norm(views, axis=-1, keepdims=True)
+    dirs = jax.random.normal(k[3], (n_rays, 3))
+    t_vals = jnp.sort(
+        jax.random.uniform(k[4], (n_rays, seg + 1)) * 4 + 2, -1
+    )
+    target = jax.random.uniform(k[5], (n_rays, 3))
+    prior = jax.random.uniform(k[6], (n_rays,)) * 4 + 2
+    coeff_rgb = jax.random.uniform(k[7], (n_rays,))
+    coeff_d = jax.random.uniform(k[8], (n_rays,))
+    params = mlp.init(k[9], None, (means[:2], covs[:2]), views[:2])
+    weights = tuple(jnp.asarray(w) for w in
+                    fmip.flatten_mip_params(params, net_depth))
+    kw = dict(net_depth=net_depth, skip_layer=skip, num_freqs=nf,
+              deg_view=dv)
+
+    def oracle(ws):
+        raw = fmip.reference_mip_mlp_apply(ws, means, covs, views, **kw)
+        rgb_T = jax.nn.sigmoid(raw[:, :3]).T.reshape(3, n_rays, seg)
+        rgb_T = rgb_T * (1 + 2 * mlp.rgb_padding) - mlp.rgb_padding
+        density = jax.nn.softplus(
+            raw[:, 3] + mlp.density_bias
+        ).reshape(n_rays, seg)
+        wts, _, _, delta = rendering.compute_alpha_weights(
+            density, t_vals, dirs
+        )
+        rend = rendering.volumetric_rendering(
+            None, wts, jnp.full((n_rays, seg, 3), jnp.nan), t_vals,
+            True, 0, False, delta, rgbs_T=rgb_T,
+        )
+        rgb, dist = rend["rgb"], rend["distance_mean"]
+        loss = (jnp.sum(coeff_rgb[:, None] / 2 * (rgb - target) ** 2)
+                + jnp.sum(coeff_d / 2 * (dist - prior) ** 2))
+        return loss, (rgb, dist, wts)
+
+    (_, (rgb_o, dist_o, w_o)), g_o = jax.value_and_grad(
+        oracle, has_aux=True)(weights)
+
+    dnorm = jnp.linalg.norm(dirs, axis=-1)
+    tmid = 0.5 * (t_vals[:, :-1] + t_vals[:, 1:])
+    delta_r = (t_vals[:, 1:] - t_vals[:, :-1]) * dnorm[:, None]
+    rep = lambda x: op._rep_row(x, seg)  # noqa: E731
+    out_rows, d_ws = op.onepass_mip_level_T(
+        weights, means.T, covs.T, views.T, tmid.reshape(1, -1),
+        delta_r.reshape(1, -1), rep(t_vals[:, 0]), rep(t_vals[:, -1]),
+        rep(coeff_rgb), rep(target), rep(coeff_d), rep(prior),
+        seg=seg, white_bkgd=True, rgb_padding=mlp.rgb_padding,
+        density_bias=mlp.density_bias, tile=256, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out_rows[:3, ::seg].T),
+                               np.asarray(rgb_o), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_rows[3, ::seg]),
+                               np.asarray(dist_o), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_rows[5]).reshape(n_rays, seg), np.asarray(w_o),
+        atol=1e-5, rtol=1e-5,
+    )
+    assert len(d_ws) == len(weights)
+    for i, (gk, go) in enumerate(zip(d_ws, g_o)):
+        np.testing.assert_allclose(
+            np.asarray(gk).reshape(np.asarray(go).shape), np.asarray(go),
+            atol=2e-4, rtol=2e-3, err_msg=f"weight {i}",
+        )
+
+
+def _mip_cfg(**kw):
+    base = dict(
+        backbone="mipnerf",
+        netdepth=2,
+        netwidth=32,
+        mip_num_samples=8,
+        max_deg_point=4,
+        disable_normals=True,
+        N_rand=64,
+        white_bkgd=True,
+        use_tensorboard=False,
+        randomized=False,
+        use_fused_train=True,
+        use_onepass_train=True,
+        fused_tile=64,
+        compute_depth_metrics=True,
+        compute_mono_depth_metrics=False,
+        use_hardmask=True,
+        dataset_type="blender",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _mip_step_pair(scene, cfg):
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+    from consistentnerf_tpu.ops.fused_train import (
+        build_fused_mip_train_step,
+    )
+
+    model = make_model(cfg)
+    batch = MipBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    ref_step = build_fused_mip_train_step(cfg, donate=False, tile=64)
+    op_step = op.build_onepass_mip_train_step(cfg, donate=False, tile=64)
+    key = jax.random.PRNGKey(0)
+    s_r, st_r = ref_step(state, batch, key)
+    s_o, st_o = op_step(state, batch, key)
+    np.testing.assert_allclose(float(st_o["loss"]), float(st_r["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_o.params),
+                    jax.tree_util.tree_leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=5e-3)
+    return st_o, st_r
+
+
+def test_onepass_mip_step_matches_fused(scene):
+    """Whole batch through the mip megakernel (mono metrics off ->
+    p == 0): loss and updated params match the two-call fused step."""
+    st_o, st_r = _mip_step_pair(scene, _mip_cfg())
+    np.testing.assert_allclose(
+        np.asarray(st_o["losses"]), np.asarray(st_r["losses"]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_onepass_mip_step_matches_fused_mono(scene):
+    """MiDaS patch term on: the first 4x16^2 rays take the
+    differentiable path, grads still match the two-call fused step."""
+    _mip_step_pair(scene, _mip_cfg(compute_mono_depth_metrics=True))
+
+
+def test_onepass_mip_step_all_patch_rays(scene):
+    """N_rand=0 with mono metrics on: every ray is a MiDaS patch ray,
+    the megakernel is skipped and the whole step runs differentiably."""
+    _mip_step_pair(
+        scene, _mip_cfg(compute_mono_depth_metrics=True, N_rand=0)
+    )
+
+
+def test_mip_onepass_supported_gating():
+    assert op.mip_onepass_supported(_mip_cfg())
+    assert not op.mip_onepass_supported(_mip_cfg(density_noise=1.0))
+    assert not op.mip_onepass_supported(_mip_cfg(disable_normals=False))
+    assert not op.mip_onepass_supported(
+        _mip_cfg(compute_disp_metrics=True)
+    )
+    assert not op.mip_onepass_supported(_mip_cfg(backbone="vanilla"))
+
+
+def test_onepass_render_matches_model_apply():
+    """fused_render_rays(onepass=True) — in-kernel compositing — equals
+    the VanillaNeRF deterministic render."""
+    from consistentnerf_tpu.core.rays import Rays
+    from consistentnerf_tpu.models.nerf import VanillaNeRF
+    from consistentnerf_tpu.ops import fused_render
+
+    model = VanillaNeRF(num_samples=8, num_importance=4, multires=4,
+                        multires_views=2, net_depth=2, net_width=32,
+                        white_bkgd=True)
+    n = 24
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ones = jnp.ones((n, 1))
+    rays = Rays(origins=jnp.zeros((n, 3)), directions=d, viewdirs=d,
+                radii=ones * 1e-3, lossmult=ones, near=ones * 2.0,
+                far=ones * 6.0)
+    params = model.init(jax.random.PRNGKey(0), None, rays)
+    expected = model.apply(params, None, rays)
+    got = fused_render.fused_render_rays(
+        params, rays, num_samples=8, num_importance=4, multires=4,
+        multires_views=2, net_depth=2, white_bkgd=True, tile=32,
+        interpret=True, onepass=True,
+    )
+    for k in ["rgb", "depth", "acc", "disp", "rgb0", "depth0", "disp0"]:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(expected[k]), atol=2e-4,
+            rtol=2e-4, err_msg=k,
+        )
+
+
 def _step_pair(scene, cfg):
     model = make_model(cfg)
     batcher = VanillaBatcher(scene, cfg)

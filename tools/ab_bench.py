@@ -303,6 +303,11 @@ def run_mip_variants(names):
         t_start = time.time()
         if name == "mip_xla":
             cfg = mip_cfg()
+        elif name.startswith("mip_onepass"):
+            # mip_onepass[_t<tile>]: one-pass mip megakernel step.
+            tile = int(name.split("_t")[-1]) if "_t" in name else 1024
+            cfg = mip_cfg(use_fused_train=True, use_onepass_train=True,
+                          fused_tile=tile)
         elif name.startswith("mip_fused"):
             tile = int(name.split("_t")[-1]) if "_t" in name else 1024
             cfg = mip_cfg(use_fused_train=True, fused_tile=tile)
@@ -313,7 +318,13 @@ def run_mip_variants(names):
         batch = batcher.next_batch()
         n_rays = batch["rgb"].shape[0]
         state = loop_lib.init_state(cfg, model, batch)
-        if cfg.use_fused_train:
+        if cfg.use_fused_train and cfg.use_onepass_train:
+            from consistentnerf_tpu.ops import fused_onepass
+
+            assert fused_onepass.mip_onepass_supported(cfg), name
+            ts = fused_onepass.build_onepass_mip_train_step(cfg,
+                                                            donate=False)
+        elif cfg.use_fused_train:
             from consistentnerf_tpu.ops.fused_train import (
                 build_fused_mip_train_step,
             )
@@ -420,6 +431,14 @@ def run_render_variants(names):
                       fused_tile=512)
         elif name == "render_fused_bf16":
             kw = dict(use_fused_render=True, fused_tile=512)
+        elif name.startswith("render_onepass"):
+            # render_onepass[_fp32][_t<tile>]: in-kernel compositing.
+            kw = dict(use_fused_render=True, use_onepass_render=True,
+                      fused_tile=512)
+            if "_fp32" in name:
+                kw["compute_dtype"] = "float32"
+            if "_t" in name:
+                kw["fused_tile"] = int(name.rsplit("_t", 1)[1])
         if name.startswith("render_mip"):
             cfg = mip_cfg(render_chunk_size=8192,
                           use_fused_render=name.endswith("fused"),
