@@ -317,6 +317,29 @@ def test_onepass_render_matches_model_apply():
         )
 
 
+def test_onepass_render_config_plumbing(scene):
+    """Config.use_onepass_render routes build_render_fn through the
+    in-kernel-compositing path and matches the two-stage fused render."""
+    from consistentnerf_tpu.train import evaluation
+    from consistentnerf_tpu.train import render as render_lib
+
+    base = dict(N_rand=64, render_chunk_size=256, use_fused_render=True,
+                fused_tile=64)
+    cfg_two = _vanilla_cfg(**base)
+    cfg_op = _vanilla_cfg(**base, use_onepass_render=True)
+    model = make_model(cfg_two)
+    batch = VanillaBatcher(scene, cfg_two).next_batch()
+    state = loop_lib.init_state(cfg_two, model, batch)
+    rays = evaluation.camera_rays_for_view(scene, scene.poses[0])
+    out_two = render_lib.build_render_fn(model, cfg_two, state.params)(rays)
+    out_op = render_lib.build_render_fn(model, cfg_op, state.params)(rays)
+    for k in ("rgb", "depth", "acc", "disp"):
+        np.testing.assert_allclose(
+            np.asarray(out_op[k]), np.asarray(out_two[k]), atol=5e-4,
+            rtol=5e-4, err_msg=k,
+        )
+
+
 def _step_pair(scene, cfg):
     model = make_model(cfg)
     batcher = VanillaBatcher(scene, cfg)

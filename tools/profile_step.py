@@ -38,11 +38,19 @@ def main():
             cfg = ab_bench.mip_cfg()
         else:
             tile = int(variant.split("_t")[-1]) if "_t" in variant else 1024
-            cfg = ab_bench.mip_cfg(use_fused_train=True, fused_tile=tile)
+            cfg = ab_bench.mip_cfg(
+                use_fused_train=True, fused_tile=tile,
+                use_onepass_train=variant.startswith("mip_onepass"),
+            )
         model = make_model(cfg)
         batch = MipBatcher(scene, cfg).next_batch()
         state = loop_lib.init_state(cfg, model, batch)
-        if cfg.use_fused_train:
+        if cfg.use_onepass_train:
+            from consistentnerf_tpu.ops import fused_onepass
+
+            ts = fused_onepass.build_onepass_mip_train_step(cfg,
+                                                            donate=False)
+        elif cfg.use_fused_train:
             from consistentnerf_tpu.ops.fused_train import (
                 build_fused_mip_train_step,
             )
