@@ -162,18 +162,24 @@ def bench_render() -> dict:
                 for p in scene.poses]
     n_rays = (all_rays[0].origins.shape[0]
               * all_rays[0].origins.shape[1])
-    out = render(all_rays[0])  # compile
+    # The real render workload is a SEQUENCE of views (eval loop, pose
+    # path): render the whole stack in ONE dispatch (train/render.py
+    # multi-view batching, cli/render.py --views-per-call) so the relay
+    # dispatch latency is amortized across views. Distinct poses —
+    # identical repeated executions can be served from a relay cache.
+    stacked = render_lib.stack_rays(all_rays)
+    out = render(stacked)  # compile
     float(np.asarray(out["rgb"]).sum())
-    # The real eval/render workload renders a SEQUENCE of views with
-    # dispatch pipelined against device compute (train/evaluation.py);
-    # measure that: dispatch all views (distinct poses — identical
-    # repeated executions can be served from a relay cache), sync once.
     best = float("inf")
-    for _ in range(3):
+    for trial in range(3):
+        # Tiny per-trial origin offset: identical repeated executions can
+        # be served from a relay cache (CLAUDE.md timing caveats).
+        trial_rays = stacked.replace(
+            origins=stacked.origins + 1e-6 * (trial + 1)
+        )
         t0 = time.perf_counter()
-        outs = [render(r) for r in all_rays]
-        for o in outs:
-            float(np.asarray(o["rgb"]).sum())
+        out = render(trial_rays)
+        float(np.asarray(out["rgb"]).sum())
         best = min(best, time.perf_counter() - t0)
     rps = len(all_rays) * n_rays / best
     # Reference render path: same MLP budget forward-only, no backward

@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("--render-test", action="store_true",
                    help="render test poses instead of the path")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--views-per-call", type=int, default=0,
+                   help="views rendered per device dispatch (0 = auto: "
+                        "4 on accelerators, 1 on CPU)")
     args = p.parse_args(argv)
     cfg = common.resolve_config(args)
     cfg = common.auto_fused_defaults(cfg, args)
@@ -115,18 +118,40 @@ def main(argv=None):
         )
         print(f"rendered {i + 1}/{len(poses)}")
 
-    # Pipeline: dispatch frame i+1 before fetching frame i, so the
-    # per-call dispatch latency overlaps the device render.
-    pending = None
-    for i, pose in enumerate(poses):
-        rays = camera_rays_for_view(scene, np.asarray(pose),
-                                    render_factor=cfg.render_factor)
-        out = render(rays)  # async dispatch
+    # Two dispatch-amortization layers: several views per jit call
+    # (--views-per-call; the per-call dispatch latency on the remote
+    # relay is comparable to an image's device time), and group k+1
+    # dispatched before group k's frames are fetched.
+    g = args.views_per_call
+    if g <= 0:
+        g = 1 if all(d.platform == "cpu" for d in jax.devices()) else 4
+    g = max(1, min(g, len(poses)))
+
+    def group_rays(group_poses):
+        rl = [camera_rays_for_view(scene, np.asarray(pp),
+                                   render_factor=cfg.render_factor)
+              for pp in group_poses]
+        # Ragged last group: pad with the last pose (extras dropped on
+        # save) so every dispatch compiles to the same shape.
+        while len(rl) < g:
+            rl.append(rl[-1])
+        return render_lib.stack_rays(rl)
+
+    pending = None  # (first_frame_idx, n_real, stacked outputs)
+    for start in range(0, len(poses), g):
+        n_real = min(g, len(poses) - start)
+        out = render(group_rays(poses[start: start + n_real]))  # async
         if pending is not None:
-            save(pending[0], jax.device_get(pending[1]))
-        pending = (i, out)
+            s0, sn, souts = pending
+            souts = jax.device_get(souts)
+            for j in range(sn):
+                save(s0 + j, {k: v[j] for k, v in souts.items()})
+        pending = (start, n_real, out)
     if pending is not None:
-        save(pending[0], jax.device_get(pending[1]))
+        s0, sn, souts = pending
+        souts = jax.device_get(souts)
+        for j in range(sn):
+            save(s0 + j, {k: v[j] for k, v in souts.items()})
     print("wrote", out_dir)
 
 

@@ -141,16 +141,30 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
 
     @jax.jit
     def render(rays: Rays):
-        h, w = rays.origins.shape[:2]
+        # Any leading batch shape is supported: [H, W] for one view or
+        # [V, H, W] for a stack of views rendered in ONE dispatch (the
+        # per-call dispatch latency on the remote-relay transport is
+        # comparable to a whole image's device time, so amortizing it
+        # across a view group is a large wall-clock win for pose-path
+        # rendering; memory stays bounded by render_chunk_size).
+        lead = rays.origins.shape[:-1]
         out = render_rays_chunked(chunk_fn, rays, cfg.render_chunk_size)
         return {
-            k: v.reshape((h, w) + v.shape[1:]).squeeze(-1)
+            k: v.reshape(lead + v.shape[1:]).squeeze(-1)
             if v.shape[-1] == 1
-            else v.reshape((h, w) + v.shape[1:])
+            else v.reshape(lead + v.shape[1:])
             for k, v in out.items()
         }
 
     return render
+
+
+def stack_rays(rays_list) -> Rays:
+    """Stack per-view Rays ([H, W, C] fields) into [V, H, W, C] for a
+    single multi-view dispatch through `build_render_fn`'s renderer."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *rays_list
+    )
 
 
 def render_image(model, cfg, params, rays: Rays) -> Dict[str, np.ndarray]:

@@ -49,6 +49,25 @@ def test_render_chunking_invariant(trained):
     np.testing.assert_allclose(out1["rgb"], out2["rgb"], atol=1e-5)
 
 
+def test_render_multiview_stack_matches_per_view(trained):
+    """A [V, H, W] stacked dispatch (cli/render.py --views-per-call)
+    must produce exactly the per-view renders."""
+    scene, cfg, model, state = trained
+    rays = [evaluation.camera_rays_for_view(scene, scene.poses[i])
+            for i in range(3)]
+    render = render_lib.build_render_fn(model, cfg, state.params)
+    stacked = render(render_lib.stack_rays(rays))
+    assert stacked["rgb"].shape == (3, 32, 32, 3)
+    assert stacked["depth"].shape == (3, 32, 32)
+    for i, r in enumerate(rays):
+        single = render(r)
+        for k in ("rgb", "depth", "acc"):
+            np.testing.assert_allclose(
+                np.asarray(stacked[k][i]), np.asarray(single[k]),
+                atol=1e-5,
+            )
+
+
 def test_evaluate_writes_artifacts(tmp_path, trained):
     scene, cfg, model, state = trained
     metrics = evaluation.evaluate(
