@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from consistentnerf_tpu.ops import fused_mlp as fm
 from consistentnerf_tpu.ops import fused_mlp_v2 as v2
+from consistentnerf_tpu.ops import pdf_merge
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -794,14 +795,11 @@ def build_onepass_vanilla_train_step(
         out_c, dw_c = mega_level(ws_c, s_c, pts_c, views_c,
                                  level_rows(sl_r, z_c[p:]))
         w_rest = out_c[5].reshape(n - p, s_c)
-        z_mid_r = 0.5 * (z_c[p:, 1:] + z_c[p:, :-1])
-        z_samples_r = sampling.sample_pdf(
-            z_mid_r, w_rest[..., 1:-1], cfg.N_importance,
+        z_f_r = pdf_merge.fine_z_vals(
+            z_c[p:], w_rest, cfg.N_importance,
             rng=None if det_pdf else jax.random.fold_in(keys[1], 0),
-            det=det_pdf,
-        )
-        z_f_r = jnp.sort(
-            jnp.concatenate([z_c[p:], z_samples_r], -1), -1
+            det=det_pdf, use_kernel=cfg.use_pdf_kernel,
+            mesh=mesh if sharded else None,
         )  # [N-p, S_f]
         pts_f, views_f = pts_views(sl_r, z_f_r)
         out_f, dw_f = mega_level(ws_f, s_f, pts_f, views_f,
@@ -827,18 +825,13 @@ def build_onepass_vanilla_train_step(
                     raw_T, z_c[:p], rays_p.directions, None,
                     cfg.white_bkgd,
                 )
-                z_mid = 0.5 * (z_c[:p, 1:] + z_c[:p, :-1])
-                z_samples = sampling.sample_pdf(
-                    z_mid, w_p[..., 1:-1], cfg.N_importance,
+                z_all = pdf_merge.fine_z_vals(
+                    z_c[:p], w_p, cfg.N_importance,
                     rng=None if det_pdf else jax.random.fold_in(
                         keys[1], 1
                     ),
-                    det=det_pdf,
-                )
-                z_all = jnp.sort(
-                    jnp.concatenate(
-                        [z_c[:p], jax.lax.stop_gradient(z_samples)], -1
-                    ), -1,
+                    det=det_pdf, use_kernel=cfg.use_pdf_kernel,
+                    mesh=mesh if sharded else None,
                 )
                 pts2, views2 = pts_views(slice(0, p), z_all)
                 raw_T2 = kern_patch(wf, pts2, views2).reshape(4, p, s_f)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from consistentnerf_tpu.core import rendering, sampling
 from consistentnerf_tpu.ops import fused_mlp as fm
+from consistentnerf_tpu.ops import pdf_merge
 
 
 @functools.partial(
@@ -27,7 +28,7 @@ from consistentnerf_tpu.ops import fused_mlp as fm
     static_argnames=(
         "num_samples", "num_importance", "multires", "multires_views",
         "net_depth", "white_bkgd", "lindisp", "tile", "interpret",
-        "compute_dtype", "kernel", "onepass",
+        "compute_dtype", "kernel", "onepass", "pdf_kernel",
     ),
 )
 def fused_render_rays(
@@ -46,6 +47,7 @@ def fused_render_rays(
     compute_dtype=jnp.float32,
     kernel: str = "v2",
     onepass: bool = False,
+    pdf_kernel: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic render of a flat Rays batch via the fused kernel.
 
@@ -100,12 +102,9 @@ def fused_render_rays(
         out = {}
         if num_importance > 0:
             out.update(rgb0=rgb, disp0=disp, acc0=acc, depth0=depth)
-            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-            z_samples = sampling.sample_pdf(
-                z_mid, weights[..., 1:-1], num_importance, det=True
-            )
-            z_all = jnp.sort(
-                jnp.concatenate([z_vals, z_samples], -1), -1
+            z_all = pdf_merge.fine_z_vals(
+                z_vals, weights, num_importance, det=True,
+                use_kernel=pdf_kernel, interpret=interpret,
             )
             rgb, disp, acc, weights, depth = mega_level(fine_p, z_all)
         out.update(rgb=rgb, disp=disp, acc=acc, depth=depth)
@@ -186,11 +185,10 @@ def fused_render_rays(
     out = {}
     if num_importance > 0:
         out.update(rgb0=rgb, disp0=disp, acc0=acc, depth0=depth)
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sampling.sample_pdf(
-            z_mid, weights[..., 1:-1], num_importance, det=True
+        z_all = pdf_merge.fine_z_vals(
+            z_vals, weights, num_importance, det=True,
+            use_kernel=pdf_kernel, interpret=interpret,
         )
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
         raw = eval_level(fine_p, z_all)
         rgb, disp, acc, weights, depth = raw2out(
             raw, z_all, directions, None, white_bkgd

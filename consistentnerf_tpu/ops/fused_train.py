@@ -18,6 +18,7 @@ import optax
 from consistentnerf_tpu.consistency import masks as mask_mod
 from consistentnerf_tpu.core import mathx, rendering, sampling
 from consistentnerf_tpu.ops import fused_mlp as fm
+from consistentnerf_tpu.ops import pdf_merge
 from consistentnerf_tpu.ops.fused_mlp_train import fused_mlp_train
 from consistentnerf_tpu.train import losses as losses_lib
 from consistentnerf_tpu.train import step as step_lib
@@ -155,21 +156,44 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
     out = {}
     if cfg.N_importance > 0:
         out.update(rgb0=rgb, disp0=disp, acc0=acc, depth0=depth)
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sampling.sample_pdf(
-            z_mid,
-            weights[..., 1:-1],
-            cfg.N_importance,
-            rng=keys.get("pdf"),
-            det=(rng is None or not cfg.perturb),
-        )
-        z_samples = jax.lax.stop_gradient(z_samples)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        det_pdf = rng is None or not cfg.perturb
+        use_k = (cfg.use_pdf_kernel and cfg.N_samples <= 128
+                 and cfg.N_importance <= 128)
+        if use_k:
+            z_all = pdf_merge.fine_z_vals(
+                z_vals, weights, cfg.N_importance, rng=keys.get("pdf"),
+                det=det_pdf, use_kernel=True,
+                mesh=mesh if mesh is not None and mesh.size > 1 else None,
+            )
+            # z_std (run_nerf_view.py ret['z_std']) without the separate
+            # z_samples array: std is permutation-invariant and the merge
+            # preserves the multiset, so the importance samples' moments
+            # are the merged moments minus the coarse moments.
+            s_i = cfg.N_importance
+            zs_sum = z_all.sum(-1) - z_vals.sum(-1)
+            zs_sq = (z_all**2).sum(-1) - (z_vals**2).sum(-1)
+            zs_mean = zs_sum / s_i
+            out["z_std"] = jnp.sqrt(
+                jnp.maximum(zs_sq / s_i - zs_mean**2, 0.0)
+            )
+        else:
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sampling.sample_pdf(
+                z_mid,
+                weights[..., 1:-1],
+                cfg.N_importance,
+                rng=keys.get("pdf"),
+                det=det_pdf,
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            z_all = jnp.sort(
+                jnp.concatenate([z_vals, z_samples], -1), -1
+            )
+            out["z_std"] = jnp.std(z_samples, axis=-1)
         raw = eval_level("fine", z_all)
         rgb, disp, acc, weights, depth = raw2out(
             raw, z_all, directions, None, cfg.white_bkgd
         )
-        out["z_std"] = jnp.std(z_samples, axis=-1)
     out.update(rgb=rgb, disp=disp, acc=acc, depth=depth)
     return out
 

@@ -1,0 +1,109 @@
+"""Tests for the fused inverse-CDF + merge kernel (ops/pdf_merge.py)
+against the composed reference chain `sort(concat(z_c, sample_pdf(...)))`
+(run_nerf_view.py:512-529 semantics via core.sampling.sample_pdf)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consistentnerf_tpu.core import sampling
+from consistentnerf_tpu.ops import pdf_merge
+
+
+def _reference(z_c, w, u):
+    z_mid = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
+    z_samples = sampling.sample_pdf(z_mid, w, u.shape[-1], u=u)
+    return jnp.sort(jnp.concatenate([z_c, z_samples], -1), -1)
+
+
+def _random_problem(key, n, s_c, near=2.0, far=6.0, degenerate=False):
+    k1, k2 = jax.random.split(key)
+    t = jnp.linspace(0.0, 1.0, s_c)
+    z = near * (1 - t) + far * t
+    jit = jax.random.uniform(k1, (n, s_c)) * (far - near) / s_c * 0.9
+    z_c = jnp.sort(z[None] + jit, -1)
+    if degenerate:
+        w = jnp.zeros((n, s_c - 2))
+    else:
+        w = jax.random.uniform(k2, (n, s_c - 2)) ** 2
+    return z_c, w
+
+
+@pytest.mark.parametrize("n,s_c,s_i", [(64, 64, 128), (40, 32, 64),
+                                       (8, 16, 8)])
+def test_det_matches_reference(n, s_c, s_i):
+    z_c, w = _random_problem(jax.random.PRNGKey(0), n, s_c)
+    u = pdf_merge.fine_z_draws(None, n, s_i, det=True)
+    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    want = _reference(z_c, w, u)
+    # atol covers fp tie-breaking: the kernel's log-roll prefix sum and
+    # XLA's cumsum round differently, so a draw within ~1 ulp of a cdf
+    # entry can flip to the adjacent interval (error bounded by one
+    # interpolation step, observed 1/3840 elements at 2.8e-4).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-5)
+
+
+def test_sorted_random_draws_match_reference():
+    n, s_c, s_i = 96, 64, 128
+    z_c, w = _random_problem(jax.random.PRNGKey(1), n, s_c)
+    u = pdf_merge.fine_z_draws(jax.random.PRNGKey(2), n, s_i, det=False)
+    assert bool(jnp.all(jnp.diff(u, axis=-1) >= 0)), "draws must ascend"
+    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    want = _reference(z_c, w, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_degenerate_weights_all_zero():
+    """All-zero weights hit the +1e-5 floor: uniform pdf, finite output."""
+    n, s_c, s_i = 32, 64, 128
+    z_c, w = _random_problem(jax.random.PRNGKey(3), n, s_c,
+                             degenerate=True)
+    u = pdf_merge.fine_z_draws(None, n, s_i, det=True)
+    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    want = _reference(z_c, w, u)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ragged_rows_pad():
+    """n not a multiple of the row block: padded rows must not leak."""
+    n, s_c, s_i = 37, 64, 128
+    z_c, w = _random_problem(jax.random.PRNGKey(4), n, s_c)
+    u = pdf_merge.fine_z_draws(jax.random.PRNGKey(5), n, s_i, det=False)
+    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True,
+                                      block_rows=16)
+    want = _reference(z_c, w, u)
+    assert got.shape == (n, s_c + s_i)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_output_sorted_and_supersets_coarse():
+    n, s_c, s_i = 48, 64, 128
+    z_c, w = _random_problem(jax.random.PRNGKey(6), n, s_c)
+    u = pdf_merge.fine_z_draws(jax.random.PRNGKey(7), n, s_i, det=False)
+    got = np.asarray(
+        pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    )
+    assert np.all(np.diff(got, axis=-1) >= 0)
+    # every coarse z must appear in the merged vector
+    for r in (0, n // 2, n - 1):
+        for z in np.asarray(z_c)[r]:
+            assert np.any(np.isclose(got[r], z, atol=1e-6))
+
+
+def test_sorted_uniform_distribution():
+    """Order-statistics generator: ascending, uniform marginals."""
+    u = pdf_merge.sorted_uniform(jax.random.PRNGKey(8), (2000, 16))
+    u = np.asarray(u)
+    assert np.all(np.diff(u, axis=-1) >= 0)
+    assert np.all((u >= 0) & (u <= 1))
+    # pooled values of sorted iid uniforms are marginally U[0,1]
+    flat = u.reshape(-1)
+    hist, _ = np.histogram(flat, bins=10, range=(0, 1))
+    assert hist.min() > 0.8 * flat.size / 10
+    assert hist.max() < 1.2 * flat.size / 10

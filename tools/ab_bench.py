@@ -113,17 +113,21 @@ def build_variant(name, scene, batch):
                            else 0,
                            fused_fwd_streams=streams)
     elif name.startswith("onepass_"):
-        # onepass_[big_]t<tile>[_fp32]: single-pass megakernel step;
-        # `big` = 16384-ray batch scaling probe.
+        # onepass_[big_]t<tile>[_fp32][_nopdfk]: single-pass megakernel
+        # step; `big` = 16384-ray batch scaling probe; `nopdfk` = XLA
+        # sample_pdf+sort instead of the fused pdf+merge kernel.
         spec = name[len("onepass_"):]
         big = spec.startswith("big_")
         if big:
             spec = spec[len("big_"):]
         assert spec.startswith("t"), name
         spec = spec[1:]
+        kw = dict(N_rand=16384) if big else {}
+        if spec.endswith("_nopdfk"):
+            spec = spec[: -len("_nopdfk")]
+            kw["use_pdf_kernel"] = False
         cd = "float32" if spec.endswith("_fp32") else "bfloat16"
         tile = int(spec.split("_")[0])
-        kw = dict(N_rand=16384) if big else {}
         cfg = flagship_cfg(use_fused_train=True, use_onepass_train=True,
                            fused_tile=tile, compute_dtype=cd, **kw)
     elif name == "hybrid_bf16_t512":
@@ -240,7 +244,11 @@ def run_train_variants(names):
     for name in names:
         t_start = time.time()
         cfg, model, state, ts, vbatch = build_variant(name, scene, batch)
+        print(f"{name}: built (+{time.time() - t_start:.0f}s), "
+              "checking forward...", flush=True)
         err, derr = check_forward(name, cfg, model, state, vbatch)
+        print(f"{name}: forward checked (+{time.time() - t_start:.0f}s), "
+              "timing (first call compiles)...", flush=True)
         ms, loss, state = time_variant(name, state, ts, vbatch)
         # Loss-equality guard at the TRAINED state: at random init the
         # fine-level resampling amplifies fp rounding into bin flips, so
@@ -429,10 +437,16 @@ def run_render_variants(names):
     for name in names:
         # trailing `_stack<k>`: render k distinct views in ONE dispatch
         # (train/render.py multi-view batching) and report per-image time.
+        # trailing `_nopdfk`: XLA sample_pdf+sort instead of the fused
+        # pdf+merge kernel.
         full_name, n_stack = name, 1
         if "_stack" in name:
             name, s_str = name.rsplit("_stack", 1)
             n_stack = int(s_str)
+        extra_kw = {}
+        if name.endswith("_nopdfk"):
+            name = name[: -len("_nopdfk")]
+            extra_kw["use_pdf_kernel"] = False
         kw = dict()
         if name == "render_fused":
             kw = dict(use_fused_render=True, compute_dtype="float32",
@@ -450,11 +464,11 @@ def run_render_variants(names):
         if name.startswith("render_mip"):
             cfg = mip_cfg(render_chunk_size=8192,
                           use_fused_render=name.endswith("fused"),
-                          fused_tile=1024)
+                          fused_tile=1024, **extra_kw)
             model = make_model(cfg)
             batch = MipBatcher(scene, cfg).next_batch()
         else:
-            cfg = flagship_cfg(render_chunk_size=8192, **kw)
+            cfg = flagship_cfg(render_chunk_size=8192, **kw, **extra_kw)
             model = make_model(cfg)
             batch = VanillaBatcher(scene, cfg).next_batch()
         state = loop_lib.init_state(cfg, model, batch)
