@@ -176,8 +176,60 @@ def resample_along_rays(
     single_jitter,
     diag=True,
     transposed=False,
+    use_kernel=False,
+    mesh=None,
 ):
-    """Blurpool + inverse-CDF resampling for level 2 (mip.py:349-403)."""
+    """Blurpool + inverse-CDF resampling for level 2 (mip.py:349-403).
+
+    use_kernel: run blurpool + the hardened inverse CDF in the fused
+    pallas kernel (ops/pdf_merge.py::mip_resample_t_vals) instead of the
+    O(bins*samples) XLA mask reductions; the draw vector is generated
+    here exactly as `sorted_piecewise_constant_pdf` does (the reference
+    stream is ascending by construction), so results match. Requires
+    stop_grad (the kernel has no VJP; both fused train steps assert
+    cfg.stop_level_grad). `mesh`: shard_map over the data axis."""
+    num = t_vals.shape[-1]
+    if use_kernel and stop_grad and t_vals.ndim == 2 and num <= 128:
+        from consistentnerf_tpu.ops import pdf_merge
+
+        eps = jnp.finfo("float32").eps
+        if rng is None:
+            u = jnp.linspace(0.0, 1.0 - eps, num)
+            u = jnp.broadcast_to(u, t_vals.shape)
+        else:
+            s_ = 1 / num
+            u = jnp.arange(num) * s_
+            d = 1 if single_jitter else num
+            u = u + jax.random.uniform(
+                rng, list(t_vals.shape[:-1]) + [d], maxval=s_ - eps
+            )
+            u = jnp.minimum(u, 1.0 - eps)
+            u = jnp.broadcast_to(u, t_vals.shape)
+        call = pdf_merge.mip_resample_t_vals
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            data = P("data", None)
+            call = jax.shard_map(
+                pdf_merge.mip_resample_t_vals,
+                mesh=mesh,
+                in_specs=(data, data, data, P()),
+                out_specs=data,
+                check_vma=False,
+            )
+        new_t_vals = jax.lax.stop_gradient(
+            call(jax.lax.stop_gradient(t_vals),
+                 jax.lax.stop_gradient(weights), u,
+                 jax.lax.stop_gradient(
+                     jnp.asarray(resample_padding, jnp.float32)
+                 ))
+        )
+        means, covs = mip_core.cast_rays(
+            new_t_vals, origins, directions, radii, ray_shape, diag=diag,
+            transposed=transposed,
+        )
+        return new_t_vals, (means, covs)
+
     weights_pad = jnp.concatenate(
         [weights[..., :1], weights, weights[..., -1:]], axis=-1
     )

@@ -1117,6 +1117,8 @@ def build_onepass_mip_train_step(
                     lkey, rays_r.origins, rays_r.directions, rays_r.radii,
                     t_vals, w_render, cfg.ray_shape, cfg.stop_level_grad,
                     resample_padding, cfg.single_jitter, transposed=True,
+                    use_kernel=cfg.use_pdf_kernel,
+                    mesh=mesh if sharded else None,
                 )
             means_T, covs_T = samples
             if cfg.disable_integration:

@@ -246,7 +246,8 @@ def fused_mip_forward(params, rng, rays, cfg, resample_padding=0.01,
                 key, rays.origins, rays.directions, rays.radii,
                 t_vals, weights_render, cfg.ray_shape,
                 cfg.stop_level_grad, resample_padding, cfg.single_jitter,
-                transposed=True,
+                transposed=True, use_kernel=cfg.use_pdf_kernel,
+                mesh=mesh if mesh is not None and mesh.size > 1 else None,
             )
         means_T, covs_T = samples  # [3, N, S]
         if cfg.disable_integration:

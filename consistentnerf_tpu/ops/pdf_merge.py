@@ -201,6 +201,125 @@ def sample_pdf_merged(
     return out[:n]
 
 
+def _mip_resample_kernel(t_ref, w_ref, u_ref, pad_ref, o_ref, *, s):
+    """sorted_piecewise_constant_pdf + blurpool (core.sampling
+    .resample_along_rays / RegNeRF math.py:169-234) on [R, lanes] tiles.
+    t_ref: [R, 128] fenceposts (s+1 valid); w_ref: [R, 128] level-1
+    weights (s valid); u_ref: [R, 128] ascending draws (s+1 valid);
+    pad_ref: [1, 1] resample_padding scalar."""
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    t = t_ref[:]
+    w = w_ref[:]
+    u = u_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+
+    # blurpool (mip.py:349-360): 0.5*(max(w[i-1],w[i]) + max(w[i],w[i+1]))
+    # with edge duplication.
+    wm1 = jnp.where(lane == 0, w, jnp.roll(w, 1, axis=-1))
+    wp1 = jnp.where(lane == s - 1, w, jnp.roll(w, -1, axis=-1))
+    blur = 0.5 * (jnp.maximum(wm1, w) + jnp.maximum(w, wp1))
+    wv = jnp.where(lane < s, blur + pad_ref[0, 0], 0.0)
+
+    # per-row deficit pad added to every weight so sums reach eps
+    # (math.py:176-180)
+    wsum = jnp.sum(wv, axis=-1, keepdims=True)
+    wv = jnp.where(lane < s, wv + jnp.maximum(0.0, eps - wsum), 0.0)
+    pdf = wv / jnp.sum(wv, axis=-1, keepdims=True)
+
+    # cdf = [0, min(1, cumsum(pdf[..., :-1])), 1]: s+1 entries
+    lane_iota = lane
+    incl = pdf
+    k = 1
+    while k < s:
+        incl = incl + jnp.where(
+            lane_iota >= k, jnp.roll(incl, k, axis=-1), 0.0
+        )
+        k *= 2
+    cdf = jnp.minimum(1.0, jnp.roll(incl, 1, axis=-1))
+    cdf = jnp.where(lane_iota == 0, 0.0, cdf)
+    cdf = jnp.where(lane_iota == s, 1.0, cdf)
+
+    # find_interval: below = last k with u >= cdf_k, above = first k with
+    # cdf_k > u (math.py:191-199 masked max/min reductions) as a static
+    # interval loop over the s+1 cdf entries.
+    cdf0 = jnp.zeros_like(u)
+    cdf1 = jnp.zeros_like(u)
+    b0 = jnp.zeros_like(u)
+    b1 = jnp.zeros_like(u)
+    for k in range(s + 1):
+        ck = jax.lax.dynamic_slice_in_dim(cdf, k, 1, axis=1)
+        bk = jax.lax.dynamic_slice_in_dim(t, k, 1, axis=1)
+        if k < s:
+            ck1 = jax.lax.dynamic_slice_in_dim(cdf, k + 1, 1, axis=1)
+            bk1 = jax.lax.dynamic_slice_in_dim(t, k + 1, 1, axis=1)
+            mk = (u >= ck) & (u < ck1)
+        else:
+            ck1, bk1 = ck, bk
+            mk = u >= ck
+        mkf = mk.astype(u.dtype)
+        cdf0 += mkf * ck
+        cdf1 += mkf * ck1
+        b0 += mkf * bk
+        b1 += mkf * bk1
+    denom = cdf1 - cdf0
+    # u < 1 and cdf ends at exactly 1, so a strictly-greater entry always
+    # exists and denom > 0 on real rows; the guard mirrors the
+    # reference's nan_to_num(0) for padded rows.
+    tt = jnp.clip(jnp.where(denom > 0, (u - cdf0) / denom, 0.0), 0.0, 1.0)
+    o_ref[:] = (b0 + tt * (b1 - b0))[:, : o_ref.shape[-1]]
+
+
+def mip_resample_t_vals(
+    t_vals: jnp.ndarray,   # [N, S+1] ascending fenceposts
+    weights: jnp.ndarray,  # [N, S] level-1 compositing weights
+    u: jnp.ndarray,        # [N, S+1] ASCENDING draws in [0, 1)
+    resample_padding,      # scalar (traced ok)
+    *,
+    block_rows: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused equivalent of the mip level-2 resampler
+    (`core.sampling.resample_along_rays` minus cast_rays): blurpool +
+    padding + hardened inverse-CDF. The reference's draw vectors are
+    already ascending (centered linspace / strided jitter,
+    math.py:181-190), so passing the identical `u` preserves the exact
+    RNG stream."""
+    n, sp1 = t_vals.shape
+    s = sp1 - 1
+    assert weights.shape == (n, s), (weights.shape, t_vals.shape)
+    assert sp1 <= 128, sp1
+    interpret = fm.auto_interpret(interpret)
+
+    r = min(block_rows, n)
+    n_pad = -(-n // r) * r
+
+    def pad_rows(x):
+        out = jnp.zeros((n_pad, 128), jnp.float32)
+        return out.at[:n, : x.shape[-1]].set(x.astype(jnp.float32))
+
+    pad_arr = jnp.asarray(resample_padding,
+                          jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_mip_resample_kernel, s=s),
+        grid=(n_pad // r,),
+        in_specs=[
+            pl.BlockSpec((r, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((r, sp1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, sp1), jnp.float32),
+        interpret=interpret,
+    )(pad_rows(t_vals), pad_rows(weights), pad_rows(u), pad_arr)
+    return out[:n]
+
+
 def fine_z_draws(rng, n, s_i, det: bool) -> jnp.ndarray:
     """The draw vector for `sample_pdf_merged`: the deterministic path's
     linspace (already ascending, bit-identical to sampling.sample_pdf's

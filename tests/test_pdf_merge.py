@@ -96,6 +96,95 @@ def test_output_sorted_and_supersets_coarse():
             assert np.any(np.isclose(got[r], z, atol=1e-6))
 
 
+def _mip_reference(rng, t_vals, weights, resample_padding, single_jitter):
+    """XLA chain: blurpool + sorted_piecewise_constant_pdf (the
+    resample_along_rays body minus cast_rays)."""
+    wp = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], -1
+    )
+    wm = jnp.maximum(wp[..., :-1], wp[..., 1:])
+    blur = 0.5 * (wm[..., :-1] + wm[..., 1:])
+    return sampling.sorted_piecewise_constant_pdf(
+        rng, t_vals, blur + resample_padding, t_vals.shape[-1],
+        single_jitter=single_jitter,
+    )
+
+
+@pytest.mark.parametrize("s,pad", [(16, 0.01), (32, 0.0)])
+def test_mip_resample_det_matches_reference(s, pad):
+    n = 48
+    key = jax.random.PRNGKey(10)
+    t = jnp.sort(jax.random.uniform(key, (n, s + 1)) * 4 + 2, -1)
+    w = jax.random.uniform(jax.random.PRNGKey(11), (n, s)) ** 2
+    eps = jnp.finfo("float32").eps
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0 - eps, s + 1), (n, s + 1))
+    got = pdf_merge.mip_resample_t_vals(t, w, u, pad, interpret=True)
+    want = _mip_reference(None, t, w, pad, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("single_jitter", [False, True])
+def test_mip_resample_random_matches_reference(single_jitter):
+    """The stochastic draw stream is ascending by construction, so the
+    kernel consumes the IDENTICAL u vector the XLA sampler generates."""
+    n, s, pad = 40, 16, 0.005
+    t = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(12), (n, s + 1)) * 4 + 2, -1
+    )
+    w = jax.random.uniform(jax.random.PRNGKey(13), (n, s)) ** 2
+    rng = jax.random.PRNGKey(14)
+    eps = jnp.finfo("float32").eps
+    s_ = 1 / (s + 1)
+    d = 1 if single_jitter else s + 1
+    u = jnp.arange(s + 1) * s_ + jax.random.uniform(
+        rng, (n, d), maxval=s_ - eps
+    )
+    u = jnp.broadcast_to(jnp.minimum(u, 1.0 - eps), (n, s + 1))
+    got = pdf_merge.mip_resample_t_vals(t, w, u, pad, interpret=True)
+    want = _mip_reference(rng, t, w, pad, single_jitter)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-5)
+
+
+def test_mip_resample_degenerate_weights():
+    """Zero weights + zero padding exercise the eps-deficit pad."""
+    n, s = 16, 16
+    t = jnp.broadcast_to(jnp.linspace(2.0, 6.0, s + 1), (n, s + 1))
+    w = jnp.zeros((n, s))
+    eps = jnp.finfo("float32").eps
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0 - eps, s + 1), (n, s + 1))
+    got = pdf_merge.mip_resample_t_vals(t, w, u, 0.0, interpret=True)
+    want = _mip_reference(None, t, w, 0.0, False)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-5)
+
+
+def test_resample_along_rays_kernel_routing():
+    """resample_along_rays(use_kernel=True) must match the XLA path for
+    identical rng (same draw stream) at stop_grad=True."""
+    n, s = 24, 16
+    key = jax.random.PRNGKey(20)
+    o = jax.random.normal(key, (n, 3))
+    d = jax.random.normal(jax.random.PRNGKey(21), (n, 3))
+    radii = jnp.full((n, 1), 1e-3)
+    t = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(22), (n, s + 1)) * 4 + 2, -1
+    )
+    w = jax.random.uniform(jax.random.PRNGKey(23), (n, s)) ** 2
+    rng = jax.random.PRNGKey(24)
+    args = (o, d, radii, t, w, "cone", True, 0.01, False)
+    t_x, (m_x, c_x) = sampling.resample_along_rays(rng, *args)
+    t_k, (m_k, c_k) = sampling.resample_along_rays(
+        rng, *args, use_kernel=True
+    )
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_x),
+                               atol=5e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x),
+                               atol=5e-3, rtol=1e-4)
+
+
 def test_sorted_uniform_distribution():
     """Order-statistics generator: ascending, uniform marginals."""
     u = pdf_merge.sorted_uniform(jax.random.PRNGKey(8), (2000, 16))

@@ -312,10 +312,17 @@ def run_mip_variants(names):
         if name == "mip_xla":
             cfg = mip_cfg()
         elif name.startswith("mip_onepass"):
-            # mip_onepass[_big][_t<tile>]: one-pass mip megakernel step;
-            # `big` = 4x-ray batch-scaling probe.
-            tile = int(name.split("_t")[-1]) if "_t" in name else 1024
-            kw = dict(N_rand=16384 - 4 * 256) if "_big" in name else {}
+            # mip_onepass[_big][_t<tile>][_nopdfk]: one-pass mip
+            # megakernel step; `big` = 4x-ray batch-scaling probe;
+            # `nopdfk` = XLA resampler instead of the fused pdf kernel.
+            spec = name
+            kw = {}
+            if spec.endswith("_nopdfk"):
+                spec = spec[: -len("_nopdfk")]
+                kw["use_pdf_kernel"] = False
+            tile = int(spec.split("_t")[-1]) if "_t" in spec else 1024
+            if "_big" in spec:
+                kw["N_rand"] = 16384 - 4 * 256
             cfg = mip_cfg(use_fused_train=True, use_onepass_train=True,
                           fused_tile=tile, **kw)
         elif name.startswith("mip_fused"):
