@@ -137,21 +137,21 @@ def main(argv=None):
             rl.append(rl[-1])
         return render_lib.stack_rays(rl)
 
-    pending = None  # (first_frame_idx, n_real, stacked outputs)
-    for start in range(0, len(poses), g):
-        n_real = min(g, len(poses) - start)
-        out = render(group_rays(poses[start: start + n_real]))  # async
-        if pending is not None:
-            s0, sn, souts = pending
-            souts = jax.device_get(souts)
-            for j in range(sn):
-                save(s0 + j, {k: v[j] for k, v in souts.items()})
-        pending = (start, n_real, out)
-    if pending is not None:
+    def flush(pending):
+        if pending is None:
+            return
         s0, sn, souts = pending
         souts = jax.device_get(souts)
         for j in range(sn):
             save(s0 + j, {k: v[j] for k, v in souts.items()})
+
+    pending = None  # (first_frame_idx, n_real, stacked outputs)
+    for start in range(0, len(poses), g):
+        n_real = min(g, len(poses) - start)
+        out = render(group_rays(poses[start: start + n_real]))  # async
+        flush(pending)
+        pending = (start, n_real, out)
+    flush(pending)
     print("wrote", out_dir)
 
 

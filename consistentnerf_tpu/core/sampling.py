@@ -71,6 +71,26 @@ def sample_pdf(
     return bins_g0 + t * (bins_g1 - bins_g0)
 
 
+def piecewise_pdf_draws(rng, batch_shape, num_samples, single_jitter):
+    """The draw vector of `sorted_piecewise_constant_pdf`
+    (RegNeRF math.py:181-190): centered linspace (rng=None) or strided
+    jitter. Ascending by construction — shared by the XLA sampler and
+    the fused resampling kernel so the two paths consume the identical
+    RNG stream."""
+    eps = jnp.finfo("float32").eps
+    if rng is None:
+        u = jnp.linspace(0.0, 1.0 - eps, num_samples)
+        return jnp.broadcast_to(u, list(batch_shape) + [num_samples])
+    s = 1 / num_samples
+    u = jnp.arange(num_samples) * s
+    d = 1 if single_jitter else num_samples
+    u = u + jax.random.uniform(
+        rng, list(batch_shape) + [d], maxval=s - eps
+    )
+    u = jnp.minimum(u, 1.0 - eps)
+    return jnp.broadcast_to(u, list(batch_shape) + [num_samples])
+
+
 def sorted_piecewise_constant_pdf(
     rng: Optional[jax.Array],
     bins: jnp.ndarray,
@@ -99,17 +119,9 @@ def sorted_piecewise_constant_pdf(
         axis=-1,
     )
 
-    if rng is None:
-        u = jnp.linspace(0.0, 1.0 - eps, num_samples)
-        u = jnp.broadcast_to(u, list(cdf.shape[:-1]) + [num_samples])
-    else:
-        s = 1 / num_samples
-        u = jnp.arange(num_samples) * s
-        d = 1 if single_jitter else num_samples
-        u = u + jax.random.uniform(
-            rng, list(cdf.shape[:-1]) + [d], maxval=s - eps
-        )
-        u = jnp.minimum(u, 1.0 - eps)
+    u = piecewise_pdf_draws(
+        rng, list(cdf.shape[:-1]), num_samples, single_jitter
+    )
 
     # The final True index in `mask` is the start of the sampled interval.
     mask = u[..., None, :] >= cdf[..., :, None]
@@ -192,19 +204,9 @@ def resample_along_rays(
     if use_kernel and stop_grad and t_vals.ndim == 2 and num <= 128:
         from consistentnerf_tpu.ops import pdf_merge
 
-        eps = jnp.finfo("float32").eps
-        if rng is None:
-            u = jnp.linspace(0.0, 1.0 - eps, num)
-            u = jnp.broadcast_to(u, t_vals.shape)
-        else:
-            s_ = 1 / num
-            u = jnp.arange(num) * s_
-            d = 1 if single_jitter else num
-            u = u + jax.random.uniform(
-                rng, list(t_vals.shape[:-1]) + [d], maxval=s_ - eps
-            )
-            u = jnp.minimum(u, 1.0 - eps)
-            u = jnp.broadcast_to(u, t_vals.shape)
+        u = piecewise_pdf_draws(
+            rng, list(t_vals.shape[:-1]), num, single_jitter
+        )
         call = pdf_merge.mip_resample_t_vals
         if mesh is not None and mesh.size > 1:
             from jax.sharding import PartitionSpec as P

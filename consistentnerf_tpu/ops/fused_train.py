@@ -160,22 +160,13 @@ def fused_vanilla_forward(params, rng, rays, cfg, tile: int = 256,
         use_k = (cfg.use_pdf_kernel and cfg.N_samples <= 128
                  and cfg.N_importance <= 128)
         if use_k:
-            z_all = pdf_merge.fine_z_vals(
+            z_all, z_samples = pdf_merge.fine_z_vals(
                 z_vals, weights, cfg.N_importance, rng=keys.get("pdf"),
                 det=det_pdf, use_kernel=True,
                 mesh=mesh if mesh is not None and mesh.size > 1 else None,
+                return_samples=True,
             )
-            # z_std (run_nerf_view.py ret['z_std']) without the separate
-            # z_samples array: std is permutation-invariant and the merge
-            # preserves the multiset, so the importance samples' moments
-            # are the merged moments minus the coarse moments.
-            s_i = cfg.N_importance
-            zs_sum = z_all.sum(-1) - z_vals.sum(-1)
-            zs_sq = (z_all**2).sum(-1) - (z_vals**2).sum(-1)
-            zs_mean = zs_sum / s_i
-            out["z_std"] = jnp.sqrt(
-                jnp.maximum(zs_sq / s_i - zs_mean**2, 0.0)
-            )
+            out["z_std"] = jnp.std(z_samples, axis=-1)
         else:
             z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
             z_samples = sampling.sample_pdf(

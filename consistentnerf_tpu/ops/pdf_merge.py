@@ -92,7 +92,7 @@ def _bitonic_merge_asc(x, width):
     return x
 
 
-def _pdf_merge_kernel(z_ref, w_ref, u_ref, o_ref, *, s_c, s_i):
+def _pdf_merge_kernel(z_ref, w_ref, u_ref, o_ref, zs_ref, *, s_c, s_i):
     zc = z_ref[:]          # [R, 128]; lanes >= s_c are padding
     w = w_ref[:]           # [R, 128]; lanes >= s_c-2 are zero
     u = u_ref[:]           # [R, 128]; ascending draws
@@ -136,6 +136,7 @@ def _pdf_merge_kernel(z_ref, w_ref, u_ref, o_ref, *, s_c, s_i):
     denom = cdf1 - cdf0
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     z_s = b0 + (u - cdf0) / denom * (b1 - b0)  # ascending (u ascending)
+    zs_ref[:] = z_s[:, : zs_ref.shape[-1]]
 
     # sort(concat(z_c, z_s)) as one bitonic merge. The 256-lane row
     # [-BIG x (128-s_c) | z_c asc | +BIG x (128-s_i) reversed-in | z_s
@@ -160,12 +161,14 @@ def sample_pdf_merged(
     *,
     block_rows: int = 256,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused equivalent of
     `sort(concat(z_c, sample_pdf(z_mid(z_c), w, S_i, u)))` (the vanilla
     fine-level glue, run_nerf_view.py:512-529). Requires ascending `u`
     (deterministic linspace draws are; use `sorted_uniform` for the
-    stochastic path) and S_c, S_i <= 128.
+    stochastic path) and S_c, S_i <= 128. Returns (z_merged [N, S_c+S_i],
+    z_samples [N, S_i]) — the raw importance samples feed diagnostics
+    like z_std where moment subtraction would cancel.
     """
     n, s_c = z_c.shape
     s_i = u.shape[-1]
@@ -186,19 +189,26 @@ def sample_pdf_merged(
     wp = pad_rows(w.astype(jnp.float32), 128)
     up = pad_rows(u.astype(jnp.float32), 128)
 
-    out = pl.pallas_call(
+    out, z_s = pl.pallas_call(
         functools.partial(_pdf_merge_kernel, s_c=s_c, s_i=s_i),
         grid=(n_pad // r,),
         in_specs=[
             pl.BlockSpec((r, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
-        out_specs=pl.BlockSpec((r, s_c + s_i), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, s_c + s_i), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((r, s_c + s_i), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, s_i), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, s_c + s_i), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, s_i), jnp.float32),
+        ),
         interpret=interpret,
     )(zp, wp, up)
-    return out[:n]
+    return out[:n], z_s[:n]
 
 
 def _mip_resample_kernel(t_ref, w_ref, u_ref, pad_ref, o_ref, *, s):
@@ -338,7 +348,8 @@ def fine_z_vals(
     use_kernel: bool = True,
     mesh=None,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+    return_samples: bool = False,
+):
     """Drop-in for the vanilla fine-level resampling chain
     `sort(concat(z_vals, stop_grad(sample_pdf(z_mid, w[...,1:-1], S_i))))`
     (run_nerf_view.py:512-529). With `use_kernel` (and kernel-supported
@@ -346,7 +357,9 @@ def fine_z_vals(
     stop-gradient in both modes (z_vals never depends on parameters in
     these callers, and the reference stop-grads the resampled points).
     `mesh`: shard_map the kernel over the data axis on multi-device
-    meshes (tpu_custom_call operands must not be replicated)."""
+    meshes (tpu_custom_call operands must not be replicated).
+    `return_samples`: also return the raw importance samples [N, S_i]
+    (for diagnostics like z_std)."""
     if use_kernel and z_vals.ndim == 2 and z_vals.shape[-1] <= 128 \
             and n_importance <= 128:
         u = fine_z_draws(rng, z_vals.shape[0], n_importance, det)
@@ -359,14 +372,18 @@ def fine_z_vals(
             data = P("data", None)
             call = jax.shard_map(
                 call, mesh=mesh, in_specs=(data, data, data),
-                out_specs=data, check_vma=False,
+                out_specs=(data, data), check_vma=False,
             )
-        return jax.lax.stop_gradient(call(z_in, w_in, u))
-    from consistentnerf_tpu.core import sampling
+        z_all, z_samples = jax.lax.stop_gradient(call(z_in, w_in, u))
+    else:
+        from consistentnerf_tpu.core import sampling
 
-    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sampling.sample_pdf(
-        z_mid, weights[..., 1:-1], n_importance, rng=rng, det=det
-    )
-    z_samples = jax.lax.stop_gradient(z_samples)
-    return jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sampling.sample_pdf(
+            z_mid, weights[..., 1:-1], n_importance, rng=rng, det=det
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+    if return_samples:
+        return z_all, z_samples
+    return z_all

@@ -11,10 +11,11 @@ from consistentnerf_tpu.core import sampling
 from consistentnerf_tpu.ops import pdf_merge
 
 
-def _reference(z_c, w, u):
+def _reference(z_c, w, u, return_samples=False):
     z_mid = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
     z_samples = sampling.sample_pdf(z_mid, w, u.shape[-1], u=u)
-    return jnp.sort(jnp.concatenate([z_c, z_samples], -1), -1)
+    merged = jnp.sort(jnp.concatenate([z_c, z_samples], -1), -1)
+    return (merged, z_samples) if return_samples else merged
 
 
 def _random_problem(key, n, s_c, near=2.0, far=6.0, degenerate=False):
@@ -35,7 +36,7 @@ def _random_problem(key, n, s_c, near=2.0, far=6.0, degenerate=False):
 def test_det_matches_reference(n, s_c, s_i):
     z_c, w = _random_problem(jax.random.PRNGKey(0), n, s_c)
     u = pdf_merge.fine_z_draws(None, n, s_i, det=True)
-    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    got, got_s = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
     want = _reference(z_c, w, u)
     # atol covers fp tie-breaking: the kernel's log-roll prefix sum and
     # XLA's cumsum round differently, so a draw within ~1 ulp of a cdf
@@ -50,9 +51,12 @@ def test_sorted_random_draws_match_reference():
     z_c, w = _random_problem(jax.random.PRNGKey(1), n, s_c)
     u = pdf_merge.fine_z_draws(jax.random.PRNGKey(2), n, s_i, det=False)
     assert bool(jnp.all(jnp.diff(u, axis=-1) >= 0)), "draws must ascend"
-    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
-    want = _reference(z_c, w, u)
+    got, got_s = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    want, want_s = _reference(z_c, w, u, return_samples=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # the second output is the raw importance-sample vector (feeds z_std)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                atol=1e-5, rtol=1e-5)
 
 
@@ -62,7 +66,7 @@ def test_degenerate_weights_all_zero():
     z_c, w = _random_problem(jax.random.PRNGKey(3), n, s_c,
                              degenerate=True)
     u = pdf_merge.fine_z_draws(None, n, s_i, det=True)
-    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+    got, got_s = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
     want = _reference(z_c, w, u)
     assert np.all(np.isfinite(np.asarray(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -74,8 +78,8 @@ def test_ragged_rows_pad():
     n, s_c, s_i = 37, 64, 128
     z_c, w = _random_problem(jax.random.PRNGKey(4), n, s_c)
     u = pdf_merge.fine_z_draws(jax.random.PRNGKey(5), n, s_i, det=False)
-    got = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True,
-                                      block_rows=16)
+    got, _ = pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True,
+                                         block_rows=16)
     want = _reference(z_c, w, u)
     assert got.shape == (n, s_c + s_i)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -87,7 +91,7 @@ def test_output_sorted_and_supersets_coarse():
     z_c, w = _random_problem(jax.random.PRNGKey(6), n, s_c)
     u = pdf_merge.fine_z_draws(jax.random.PRNGKey(7), n, s_i, det=False)
     got = np.asarray(
-        pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)
+        pdf_merge.sample_pdf_merged(z_c, w, u, interpret=True)[0]
     )
     assert np.all(np.diff(got, axis=-1) >= 0)
     # every coarse z must appear in the merged vector

@@ -123,8 +123,8 @@ def build_variant(name, scene, batch):
         assert spec.startswith("t"), name
         spec = spec[1:]
         kw = dict(N_rand=16384) if big else {}
-        if spec.endswith("_nopdfk"):
-            spec = spec[: -len("_nopdfk")]
+        if "_nopdfk" in spec:  # position-independent suffix
+            spec = spec.replace("_nopdfk", "")
             kw["use_pdf_kernel"] = False
         cd = "float32" if spec.endswith("_fp32") else "bfloat16"
         tile = int(spec.split("_")[0])
@@ -317,8 +317,8 @@ def run_mip_variants(names):
             # `nopdfk` = XLA resampler instead of the fused pdf kernel.
             spec = name
             kw = {}
-            if spec.endswith("_nopdfk"):
-                spec = spec[: -len("_nopdfk")]
+            if "_nopdfk" in spec:  # position-independent suffix
+                spec = spec.replace("_nopdfk", "")
                 kw["use_pdf_kernel"] = False
             tile = int(spec.split("_t")[-1]) if "_t" in spec else 1024
             if "_big" in spec:
@@ -442,18 +442,18 @@ def run_render_variants(names):
     results = {}
     scene = synthetic.make_scene(n_views=6, H=128, W=128).to_scene_data()
     for name in names:
-        # trailing `_stack<k>`: render k distinct views in ONE dispatch
-        # (train/render.py multi-view batching) and report per-image time.
-        # trailing `_nopdfk`: XLA sample_pdf+sort instead of the fused
-        # pdf+merge kernel.
+        # `_stack<k>` anywhere: render k distinct views in ONE dispatch
+        # (train/render.py multi-view batching), report per-image time.
+        # `_nopdfk` anywhere: XLA sample_pdf+sort instead of the fused
+        # pdf+merge kernel. Order-independent parsing.
         full_name, n_stack = name, 1
+        extra_kw = {}
+        if "_nopdfk" in name:
+            name = name.replace("_nopdfk", "")
+            extra_kw["use_pdf_kernel"] = False
         if "_stack" in name:
             name, s_str = name.rsplit("_stack", 1)
             n_stack = int(s_str)
-        extra_kw = {}
-        if name.endswith("_nopdfk"):
-            name = name[: -len("_nopdfk")]
-            extra_kw["use_pdf_kernel"] = False
         kw = dict()
         if name == "render_fused":
             kw = dict(use_fused_render=True, compute_dtype="float32",
