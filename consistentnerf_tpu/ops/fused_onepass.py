@@ -577,15 +577,16 @@ def onepass_supported(cfg) -> bool:
     """Whether the one-pass megakernel step computes cfg's exact loss.
 
     Requires per-ray loss terms with parameter-independent denominators
-    (hardmask / softmask-as-hardmask / plain MSE families) and no output
-    noise or online-reprojection term (those change the cotangent chain).
+    (hardmask / softmask-as-hardmask / plain MSE families; soft masks
+    have prediction-dependent global denominators, unknowable during the
+    kernel's single pass) and no online-reprojection term. Output noise
+    IS supported: it folds into the cotangent rows as a target shift.
     """
     return (
         cfg.backbone == "vanilla"
         and cfg.use_viewdirs
         and cfg.N_importance > 0
         and not cfg.softLpmask
-        and not cfg.use_noise
         and not cfg.ss_loss
         and 3 * cfg.multires <= 60
         and 3 * cfg.multires_views <= 60
@@ -747,6 +748,26 @@ def build_onepass_vanilla_train_step(
             coeff_d = jnp.zeros((n,), jnp.float32)
             prior_eff = jnp.zeros((n,), jnp.float32)
 
+        # Output noise (run_nerf_view.py:1633-1638 via
+        # step_lib.apply_output_noise): the per-ray MSE cotangent
+        # coeff*(rgb + n - t) is coeff*(rgb - (t - n)), so the noise
+        # folds into the kernel's target/prior rows as a shift — same
+        # draw stream as the XLA step (fold_in(step_rng, 7)); the stats
+        # path re-applies apply_output_noise to the assembled outputs.
+        if cfg.use_noise:
+            std = jnp.asarray(0.05)
+            nk = jax.random.split(jax.random.fold_in(step_rng, 7), 4)
+            n_rgb = std * jax.random.normal(nk[0], (n, 3))
+            n_d = cfg.far * std * jax.random.normal(nk[1], (n,))
+            n_rgb0 = std * jax.random.normal(nk[2], (n, 3))
+            n_d0 = cfg.far * std * jax.random.normal(nk[3], (n,))
+            tgt_f, pri_f = target - n_rgb, prior_eff - n_d
+            tgt_c, pri_c = target - n_rgb0, prior_eff - n_d0
+        else:
+            n_rgb = n_d = n_rgb0 = n_d0 = None
+            tgt_f = tgt_c = target
+            pri_f = pri_c = prior_eff
+
         # --- shared stratified draws (one [N, S] draw, sliced per path,
         # so patch/rest rays see independent jitter) ---
         keys = jax.random.split(step_rng, 3)
@@ -774,15 +795,15 @@ def build_onepass_vanilla_train_step(
             ).reshape(3, n_sub * seg)
             return pts, views
 
-        def level_rows(sl, z_sub):
+        def level_rows(sl, z_sub, tgt, pri):
             seg = z_sub.shape[1]
             return (
                 z_sub.reshape(1, -1),
                 _rep_row(dnorm[sl], seg),
                 _rep_row(coeff_rgb[sl], seg),
-                _rep_row(target[sl], seg),
+                _rep_row(tgt[sl], seg),
                 _rep_row(coeff_d[sl], seg),
-                _rep_row(prior_eff[sl], seg),
+                _rep_row(pri[sl], seg),
             )
 
         # ---------------- mega path: rays [p:] ----------------
@@ -793,7 +814,7 @@ def build_onepass_vanilla_train_step(
 
         pts_c, views_c = pts_views(sl_r, z_c[p:])
         out_c, dw_c = mega_level(ws_c, s_c, pts_c, views_c,
-                                 level_rows(sl_r, z_c[p:]))
+                                 level_rows(sl_r, z_c[p:], tgt_c, pri_c))
         w_rest = out_c[5].reshape(n - p, s_c)
         z_f_r = pdf_merge.fine_z_vals(
             z_c[p:], w_rest, cfg.N_importance,
@@ -803,7 +824,7 @@ def build_onepass_vanilla_train_step(
         )  # [N-p, S_f]
         pts_f, views_f = pts_views(sl_r, z_f_r)
         out_f, dw_f = mega_level(ws_f, s_f, pts_f, views_f,
-                                 level_rows(sl_r, z_f_r))
+                                 level_rows(sl_r, z_f_r, tgt_f, pri_f))
 
         def rows_to_maps(out_rows, n_sub, seg):
             per_ray = out_rows[:, ::seg]  # per-segment broadcasts
@@ -842,24 +863,34 @@ def build_onepass_vanilla_train_step(
 
                 # patch rays' share of the per-ray MSE terms, same
                 # global-denominator coefficients as the megakernel
-                def share(rgb_l, depth_l):
+                # (tgt/pri carry the output-noise shift when on)
+                def share(rgb_l, depth_l, tgt, pri):
                     se_rgb = jnp.sum(
                         coeff_rgb[:p, None] / 2.0
-                        * (rgb_l - target[:p]) ** 2
+                        * (rgb_l - tgt[:p]) ** 2
                     )
                     se_d = jnp.sum(
-                        coeff_d[:p] / 2.0 * (depth_l - prior_eff[:p]) ** 2
+                        coeff_d[:p] / 2.0 * (depth_l - pri[:p]) ** 2
                     )
                     return se_rgb + se_d
 
-                loss = share(rgb, depth) + share(rgb0, depth0)
+                loss = (share(rgb, depth, tgt_f, pri_f)
+                        + share(rgb0, depth0, tgt_c, pri_c))
 
-                # patch-global terms, fine + coarse duplicates
+                # patch-global terms, fine + coarse duplicates; the XLA
+                # step's apply_output_noise noises the outputs BEFORE
+                # every loss term, so the patch terms see noised maps
                 batch_p = {
                     "rgb": target[:p],
                     "mono_disp": batch["mono_disp"][:p],
                 }
-                for rgb_l, depth_l in ((rgb, depth), (rgb0, depth0)):
+                for rgb_l, depth_l, nr, nd in (
+                    (rgb, depth, n_rgb, n_d),
+                    (rgb0, depth0, n_rgb0, n_d0),
+                ):
+                    if cfg.use_noise:
+                        rgb_l = rgb_l + nr[:p]
+                        depth_l = depth_l + nd[:p]
                     mono, ssim_v, lp = losses_lib._patch_terms(
                         rgb_l, depth_l, batch_p, cfg, lpips_params
                     )
@@ -901,6 +932,11 @@ def build_onepass_vanilla_train_step(
             "rgb": rgb_full, "depth": depth_full,
             "rgb0": rgb0_full, "depth0": depth0_full,
         }
+        if cfg.use_noise:
+            # same fold_in(step_rng, 7) stream as the cotangent rows
+            outputs_full = step_lib.apply_output_noise(
+                outputs_full, cfg, step_rng
+            )
         loss, stats = losses_lib.vanilla_losses(
             outputs_full, batch, cfg, far, 1.0, lpips_params
         )

@@ -384,6 +384,16 @@ def test_onepass_step_matches_xla_plain_mse(scene):
     _assert_steps_match(*_step_pair(scene, cfg))
 
 
+def test_onepass_step_matches_xla_use_noise(scene):
+    """Output noise (apply_output_noise): the noise folds into the
+    megakernel's target/prior cotangent rows as a shift; same
+    fold_in(step_rng, 7) stream as the XLA step, so loss and updated
+    params match exactly."""
+    cfg = _vanilla_cfg(use_noise=True)
+    assert op.onepass_supported(cfg)
+    _assert_steps_match(*_step_pair(scene, cfg))
+
+
 def test_onepass_step_matches_xla_use_batching(scene):
     """use_batching mode: no patch rays, the megakernel handles the whole
     batch (p == 0 path)."""
