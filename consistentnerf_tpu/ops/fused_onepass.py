@@ -579,15 +579,17 @@ def onepass_supported(cfg) -> bool:
     Requires per-ray loss terms with parameter-independent denominators
     (hardmask / softmask-as-hardmask / plain MSE families; soft masks
     have prediction-dependent global denominators, unknowable during the
-    kernel's single pass) and no online-reprojection term. Output noise
-    IS supported: it folds into the cotangent rows as a target shift.
+    kernel's single pass). Output noise folds into the cotangent rows as
+    a target shift; the ss_loss online-reprojection term is supported
+    too (its consistency weight is a pure function of batch data, so the
+    gating swaps coefficient rows and the reference-ray renders run in
+    their own megakernel pair).
     """
     return (
         cfg.backbone == "vanilla"
         and cfg.use_viewdirs
         and cfg.N_importance > 0
         and not cfg.softLpmask
-        and not cfg.ss_loss
         and 3 * cfg.multires <= 60
         and 3 * cfg.multires_views <= 60
     )
@@ -768,6 +770,40 @@ def build_onepass_vanilla_train_step(
             tgt_f = tgt_c = target
             pri_f = pri_c = prior_eff
 
+        # Online-reprojection term (ss_loss, run_nerf_view_test.py:944-
+        # 967 via step_lib.apply_ss_loss): the reprojection weight is a
+        # pure function of batch data (consistency/online.build_ref_rays
+        # — no parameters), so BOTH pieces fit the megakernel: the
+        # stochastic gating swaps the fine-level rgb coefficient rows,
+        # and the reference-ray renders get their own megakernel pair
+        # with masked-mse coefficient rows. Stats re-assemble through
+        # apply_ss_loss itself (same rng folds).
+        has_ss = cfg.ss_loss and "ref_image" in batch
+        coeff_rgb_f = coeff_rgb_c = coeff_rgb
+        if has_ss:
+            from consistentnerf_tpu.consistency import online
+
+            ss_rng, gate_rng = jax.random.split(
+                jax.random.fold_in(step_rng, 1)
+            )
+            points_w = (
+                batch["origins"]
+                + batch["depth"][..., None] * batch["directions"]
+            )
+            ref = online.build_ref_rays(
+                points_w, batch["ref_pose"], batch["ref_image"],
+                batch["ref_depth"], batch["K"], cfg.occlusion_threshold,
+                use_occlusion=True,
+            )
+            w_ss = ref["weight"]
+            use_gated = jax.random.bernoulli(gate_rng)
+            s1 = jnp.sum(w_ss)
+            gated_coeff = jnp.where(
+                3.0 * s1 > 0, 2.0 * w_ss / jnp.maximum(3.0 * s1, 1.0), 0.0
+            )
+            coeff_rgb_f = jnp.where(use_gated, ls * gated_coeff,
+                                    coeff_rgb)
+
         # --- shared stratified draws (one [N, S] draw, sliced per path,
         # so patch/rest rays see independent jitter) ---
         keys = jax.random.split(step_rng, 3)
@@ -785,26 +821,33 @@ def build_onepass_vanilla_train_step(
         d_T = rays.directions.T
         v_T = rays.viewdirs.T
 
-        def pts_views(sl, z_sub):
+        def pts_views_of(oT, dT, vT, z_sub):
             n_sub, seg = z_sub.shape
             pts = (
-                o_T[:, sl, None] + d_T[:, sl, None] * z_sub[None]
+                oT[:, :, None] + dT[:, :, None] * z_sub[None]
             ).reshape(3, n_sub * seg)
             views = jnp.broadcast_to(
-                v_T[:, sl, None], (3, n_sub, seg)
+                vT[:, :, None], (3, n_sub, seg)
             ).reshape(3, n_sub * seg)
             return pts, views
 
-        def level_rows(sl, z_sub, tgt, pri):
+        def pts_views(sl, z_sub):
+            return pts_views_of(o_T[:, sl], d_T[:, sl], v_T[:, sl], z_sub)
+
+        def rows_of(z_sub, dn, cr, tg, cd, pr):
             seg = z_sub.shape[1]
             return (
                 z_sub.reshape(1, -1),
-                _rep_row(dnorm[sl], seg),
-                _rep_row(coeff_rgb[sl], seg),
-                _rep_row(tgt[sl], seg),
-                _rep_row(coeff_d[sl], seg),
-                _rep_row(pri[sl], seg),
+                _rep_row(dn, seg),
+                _rep_row(cr, seg),
+                _rep_row(tg, seg),
+                _rep_row(cd, seg),
+                _rep_row(pr, seg),
             )
+
+        def level_rows(sl, z_sub, coeff, tgt, pri):
+            return rows_of(z_sub, dnorm[sl], coeff[sl], tgt[sl],
+                           coeff_d[sl], pri[sl])
 
         # ---------------- mega path: rays [p:] ----------------
         sl_r = slice(p, n)
@@ -813,8 +856,10 @@ def build_onepass_vanilla_train_step(
         ws_f = _weights_tuple(params, "fine", net_depth)
 
         pts_c, views_c = pts_views(sl_r, z_c[p:])
-        out_c, dw_c = mega_level(ws_c, s_c, pts_c, views_c,
-                                 level_rows(sl_r, z_c[p:], tgt_c, pri_c))
+        out_c, dw_c = mega_level(
+            ws_c, s_c, pts_c, views_c,
+            level_rows(sl_r, z_c[p:], coeff_rgb_c, tgt_c, pri_c),
+        )
         w_rest = out_c[5].reshape(n - p, s_c)
         z_f_r = pdf_merge.fine_z_vals(
             z_c[p:], w_rest, cfg.N_importance,
@@ -823,8 +868,10 @@ def build_onepass_vanilla_train_step(
             mesh=mesh if sharded else None,
         )  # [N-p, S_f]
         pts_f, views_f = pts_views(sl_r, z_f_r)
-        out_f, dw_f = mega_level(ws_f, s_f, pts_f, views_f,
-                                 level_rows(sl_r, z_f_r, tgt_f, pri_f))
+        out_f, dw_f = mega_level(
+            ws_f, s_f, pts_f, views_f,
+            level_rows(sl_r, z_f_r, coeff_rgb_f, tgt_f, pri_f),
+        )
 
         def rows_to_maps(out_rows, n_sub, seg):
             per_ray = out_rows[:, ::seg]  # per-segment broadcasts
@@ -832,6 +879,68 @@ def build_onepass_vanilla_train_step(
 
         rgb_r, depth_r, acc_r = rows_to_maps(out_f, n - p, s_f)
         rgb0_r, depth0_r, acc0_r = rows_to_maps(out_c, n - p, s_c)
+
+        # ------------- ss_loss reference-ray megakernels -------------
+        ref_outputs = None
+        if has_ss:
+            d_ref = ref["directions"]
+            dn_ref = jnp.linalg.norm(d_ref, axis=-1)
+            v_ref = d_ref / jnp.maximum(dn_ref[:, None], 1e-12)
+            o_ref_T, d_ref_T, v_ref_T = (
+                ref["origins"].T, d_ref.T, v_ref.T
+            )
+            mult = cfg.ss_loss_mult
+            cr_ref = mult * jnp.where(
+                3.0 * s1 > 0, 2.0 * w_ss / jnp.maximum(3.0 * s1, 1.0),
+                0.0,
+            )
+            if cfg.with_depth_loss:
+                cd_ref = mult * jnp.where(
+                    s1 > 0, 2.0 * w_ss / jnp.maximum(s1, 1.0), 0.0
+                )
+                pri_ref = ref["depth_target"]
+            else:
+                cd_ref = jnp.zeros((n,), jnp.float32)
+                pri_ref = jnp.zeros((n,), jnp.float32)
+            tgt_ref = ref["rgb_target"]
+
+            kss = jax.random.split(ss_rng, 2)
+            t_rand_ref = (
+                jax.random.uniform(kss[0], (n, s_c))
+                if cfg.perturb > 0 else None
+            )
+            near_r = jnp.full((n, 1), cfg.near)
+            far_r = jnp.full((n, 1), cfg.far)
+            z_c_ref = sampling.vanilla_z_vals(
+                near_r, far_r, s_c, cfg.lindisp, t_rand_ref
+            )
+
+            def ref_rows(z_sub):
+                return rows_of(z_sub, dn_ref, cr_ref, tgt_ref, cd_ref,
+                               pri_ref)
+
+            pts_rc, views_rc = pts_views_of(o_ref_T, d_ref_T, v_ref_T,
+                                            z_c_ref)
+            out_rc, dw_rc = mega_level(ws_c, s_c, pts_rc, views_rc,
+                                       ref_rows(z_c_ref))
+            z_f_ref = pdf_merge.fine_z_vals(
+                z_c_ref, out_rc[5].reshape(n, s_c), cfg.N_importance,
+                rng=None if det_pdf else kss[1], det=det_pdf,
+                use_kernel=cfg.use_pdf_kernel,
+                mesh=mesh if sharded else None,
+            )
+            pts_rf, views_rf = pts_views_of(o_ref_T, d_ref_T, v_ref_T,
+                                            z_f_ref)
+            out_rf, dw_rf = mega_level(ws_f, s_f, pts_rf, views_rf,
+                                       ref_rows(z_f_ref))
+            dw_c = [a + b for a, b in zip(dw_c, dw_rc)]
+            dw_f = [a + b for a, b in zip(dw_f, dw_rf)]
+            r_f = rows_to_maps(out_rf, n, s_f)
+            r_c = rows_to_maps(out_rc, n, s_c)
+            ref_outputs = {
+                "rgb": r_f[0], "depth": r_f[1],
+                "rgb0": r_c[0], "depth0": r_c[1],
+            }
 
         # ---------------- patch path: rays [:p] ----------------
         if p > 0:
@@ -864,9 +973,9 @@ def build_onepass_vanilla_train_step(
                 # patch rays' share of the per-ray MSE terms, same
                 # global-denominator coefficients as the megakernel
                 # (tgt/pri carry the output-noise shift when on)
-                def share(rgb_l, depth_l, tgt, pri):
+                def share(rgb_l, depth_l, coeff, tgt, pri):
                     se_rgb = jnp.sum(
-                        coeff_rgb[:p, None] / 2.0
+                        coeff[:p, None] / 2.0
                         * (rgb_l - tgt[:p]) ** 2
                     )
                     se_d = jnp.sum(
@@ -874,8 +983,8 @@ def build_onepass_vanilla_train_step(
                     )
                     return se_rgb + se_d
 
-                loss = (share(rgb, depth, tgt_f, pri_f)
-                        + share(rgb0, depth0, tgt_c, pri_c))
+                loss = (share(rgb, depth, coeff_rgb_f, tgt_f, pri_f)
+                        + share(rgb0, depth0, coeff_rgb_c, tgt_c, pri_c))
 
                 # patch-global terms, fine + coarse duplicates; the XLA
                 # step's apply_output_noise noises the outputs BEFORE
@@ -940,6 +1049,15 @@ def build_onepass_vanilla_train_step(
         loss, stats = losses_lib.vanilla_losses(
             outputs_full, batch, cfg, far, 1.0, lpips_params
         )
+        if has_ss:
+            # Re-assemble the gated loss/stats through apply_ss_loss
+            # itself (identical rng folds, identical masked-mse
+            # formulas); the "apply_fn" just returns the megakernel's
+            # reference-ray renders.
+            loss, stats = step_lib.apply_ss_loss(
+                lambda _p, _r, _rays: ref_outputs, params, step_rng,
+                batch, cfg, outputs_full, loss, stats,
+            )
 
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)

@@ -384,6 +384,27 @@ def test_onepass_step_matches_xla_plain_mse(scene):
     _assert_steps_match(*_step_pair(scene, cfg))
 
 
+def test_onepass_step_matches_xla_ss_loss(scene):
+    """Online-reprojection term: gated fine-rgb coefficient rows +
+    reference-ray megakernels; loss/ss_loss/params match the XLA step
+    at perturb=0 (same rng folds)."""
+    cfg = _vanilla_cfg(ss_loss=True)
+    assert op.onepass_supported(cfg)
+    state, batch, xla_step, op_step = _step_pair(scene, cfg)
+    assert "ref_image" in batch
+    st_o, st_x = _assert_steps_match(state, batch, xla_step, op_step)
+    np.testing.assert_allclose(float(st_o["ss_loss"]),
+                               float(st_x["ss_loss"]), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_onepass_step_matches_xla_ss_loss_and_noise(scene):
+    """ss_loss + use_noise together (both rng streams shared)."""
+    cfg = _vanilla_cfg(ss_loss=True, use_noise=True)
+    state, batch, xla_step, op_step = _step_pair(scene, cfg)
+    _assert_steps_match(state, batch, xla_step, op_step)
+
+
 def test_onepass_step_matches_xla_use_noise(scene):
     """Output noise (apply_output_noise): the noise folds into the
     megakernel's target/prior cotangent rows as a shift; same
@@ -439,14 +460,17 @@ def test_onepass_step_shard_map_matches_unsharded(scene):
 
 def test_onepass_supported_gating():
     assert op.onepass_supported(_vanilla_cfg())
-    assert not op.onepass_supported(_vanilla_cfg(use_noise=True))
-    assert not op.onepass_supported(_vanilla_cfg(ss_loss=True))
+    # use_noise and ss_loss are supported (coefficient-row treatments)
+    assert op.onepass_supported(_vanilla_cfg(use_noise=True))
+    assert op.onepass_supported(_vanilla_cfg(ss_loss=True))
     assert not op.onepass_supported(
         _vanilla_cfg(hardmask=False, softLpmask=True)
     )
     assert not op.onepass_supported(_vanilla_cfg(backbone="mipnerf"))
     with pytest.raises(AssertionError):
-        op.build_onepass_vanilla_train_step(_vanilla_cfg(use_noise=True))
+        op.build_onepass_vanilla_train_step(
+            _vanilla_cfg(hardmask=False, softLpmask=True)
+        )
 
 
 def test_onepass_convergence(scene):
