@@ -305,15 +305,19 @@ def onepass_level_T(
 
 
 def _mip_composite_fwd(raw, tmid, delta, tlo, thi, seg, white_bkgd,
-                       rgb_padding, density_bias):
+                       rgb_padding, density_bias, noise=None):
     """In-kernel mip compositing (core.rendering.compute_alpha_weights +
     volumetric_rendering's rgb/distance_mean, mip.py:195-294 semantics)
     on [rows, T]: raw [4, T] MLP heads, tmid/delta per-point rows,
     tlo/thi per-ray clip bounds. Includes the head activations
-    (sigmoid+rgb_padding, softplus density)."""
+    (sigmoid+rgb_padding, softplus density); `noise` is the per-point
+    density-regularization noise row (MLP.density_noise — additive on
+    the raw density logit, so the backward chain is unchanged)."""
     s_rgb = jax.nn.sigmoid(raw[:3])
     c = s_rgb * (1.0 + 2.0 * rgb_padding) - rgb_padding
     x_d = raw[3:4] + density_bias
+    if noise is not None:
+        x_d = x_d + noise
     density = jax.nn.softplus(x_d)
     sigd = jax.nn.sigmoid(x_d)
     dd = density * delta
@@ -380,6 +384,7 @@ def onepass_mip_level_T(
     target_rows: jnp.ndarray,  # [3, N*S]
     coeff_depth: jnp.ndarray,  # [1, N*S] d loss/d dist = coeff*(d-p)
     prior_row: jnp.ndarray,    # [1, N*S]
+    noise_row=None,            # [1, N*S] density noise (None = off)
     *,
     seg: int,
     net_depth: int = 8,
@@ -408,14 +413,17 @@ def onepass_mip_level_T(
     assert n % seg == 0, (n, seg)
     tile_c = _tile_cols(seg, tile) if not interpret else seg
     n_pad = -(-n // tile_c) * tile_c
+    if noise_row is None:
+        noise_row = jnp.zeros_like(tmid_row)
     rows_in = [means_T, covs_T, views_T, tmid_row, delta_row, tlo_row,
-               thi_row, coeff_rgb, target_rows, coeff_depth, prior_row]
+               thi_row, coeff_rgb, target_rows, coeff_depth, prior_row,
+               noise_row]
     rows_in = [v2._pad_cols(r, n_pad) for r in rows_in]
     grid = (n_pad // tile_c,)
     trainable = list(range(3, len(ops)))
 
     def kernel(m_ref, c_ref, v_ref, tm_ref, dl_ref, lo_ref, hi_ref,
-               crgb_ref, tgt_ref, cd_ref, pr_ref, *refs):
+               crgb_ref, tgt_ref, cd_ref, pr_ref, nz_ref, *refs):
         op_refs = refs[: len(ops)]
         out_ref = refs[len(ops)]
         grad_refs = refs[len(ops) + 1: len(ops) + 1 + len(trainable)]
@@ -429,7 +437,7 @@ def onepass_mip_level_T(
         )
         rgb_map, dist, acc, w, saved = _mip_composite_fwd(
             raw, tm_ref[:], dl_ref[:], lo_ref[:], hi_ref[:], seg,
-            white_bkgd, rgb_padding, density_bias,
+            white_bkgd, rgb_padding, density_bias, noise=nz_ref[:],
         )
         out_ref[:] = jnp.concatenate([rgb_map, dist, acc, w], axis=0)
 
@@ -468,7 +476,7 @@ def onepass_mip_level_T(
         grid=grid,
         in_specs=[row_spec3, row_spec3, row_spec3, row_spec1, row_spec1,
                   row_spec1, row_spec1, row_spec1, row_spec3, row_spec1,
-                  row_spec1]
+                  row_spec1, row_spec1]
         + [fmip._whole(wv) for wv in ops],
         out_specs=(
             pl.BlockSpec((6, tile_c), lambda i: (0, i),
@@ -1090,8 +1098,10 @@ def mip_onepass_supported(cfg) -> bool:
     denominators and run in-kernel; the MiDaS patch term touches only
     the first 4x16^2 rays (consistency/monodepth.py contract) and the
     TV regularizer only the random-pose rays — both keep the ordinary
-    differentiable fused path. Extras (disp/normal metrics) and density
-    noise change the kernel's output contract and fall back.
+    differentiable fused path. Density noise is supported — an additive
+    per-point row on the in-kernel density logit (the paper's mipnerf3/
+    regnerf3 presets set MLP.density_noise=1). Extras (disp/normal
+    metrics) change the kernel's output contract and fall back.
     """
     return (
         cfg.backbone == "mipnerf"
@@ -1099,7 +1109,6 @@ def mip_onepass_supported(cfg) -> bool:
         and cfg.stop_level_grad
         and cfg.min_deg_point == 0
         and 3 * cfg.max_deg_point <= 60
-        and cfg.density_noise == 0
         and not cfg.compute_disp_metrics
         and not cfg.compute_normal_metrics
     )
@@ -1278,9 +1287,18 @@ def build_onepass_mip_train_step(
             if cfg.disable_integration:
                 covs_T = jnp.zeros_like(covs_T)
             rows = static_rows(t_vals, level_mults[lvl])
+            # density-regularization noise (MLP.density_noise; fused_
+            # train.py applies it between the kernel and compositing —
+            # here it is an input row added to the in-kernel logit)
+            if cfg.randomized and cfg.density_noise > 0:
+                noise = (cfg.density_noise * jax.random.normal(
+                    jax.random.fold_in(key, 500 + lvl), (nr, s)
+                )).reshape(1, nr * s)
+            else:
+                noise = jnp.zeros((1, nr * s), jnp.float32)
             out_rows, dws = mega_level(
                 ws, s, means_T.reshape(3, nr * s),
-                covs_T.reshape(3, nr * s), views_r, *rows,
+                covs_T.reshape(3, nr * s), views_r, *rows, noise,
             )
             w_render = out_rows[5].reshape(nr, s)
             per_ray = out_rows[:, ::s]

@@ -204,6 +204,76 @@ def test_onepass_mip_level_matches_composed_oracle():
         )
 
 
+def test_onepass_mip_level_density_noise_matches_oracle():
+    """The noise row shifts the in-kernel density logit exactly like the
+    two-call path's raw_density + noise (fused_train.py:269-274)."""
+    from consistentnerf_tpu.models.mlp import MipMLP
+    from consistentnerf_tpu.ops import fused_mip as fmip
+
+    net_depth, skip, nf, dv = 4, 2, 6, 2
+    n_rays, seg = 8, 16
+    mlp = MipMLP(net_depth=net_depth, net_width=32, skip_layer=skip,
+                 max_deg_point=nf, deg_view=dv, disable_normals=True)
+    k = jax.random.split(jax.random.PRNGKey(11), 11)
+    means = jax.random.normal(k[0], (n_rays * seg, 3))
+    covs = jax.random.uniform(k[1], (n_rays * seg, 3)) * 0.1
+    views = jax.random.normal(k[2], (n_rays * seg, 3))
+    views = views / jnp.linalg.norm(views, axis=-1, keepdims=True)
+    dirs = jax.random.normal(k[3], (n_rays, 3))
+    t_vals = jnp.sort(
+        jax.random.uniform(k[4], (n_rays, seg + 1)) * 4 + 2, -1
+    )
+    target = jax.random.uniform(k[5], (n_rays, 3))
+    coeff_rgb = jax.random.uniform(k[7], (n_rays,))
+    noise = jax.random.normal(k[8], (n_rays, seg))
+    params = mlp.init(k[9], None, (means[:2], covs[:2]), views[:2])
+    weights = tuple(jnp.asarray(w) for w in
+                    fmip.flatten_mip_params(params, net_depth))
+    kw = dict(net_depth=net_depth, skip_layer=skip, num_freqs=nf,
+              deg_view=dv)
+
+    def oracle(ws):
+        raw = fmip.reference_mip_mlp_apply(ws, means, covs, views, **kw)
+        rgb_T = jax.nn.sigmoid(raw[:, :3]).T.reshape(3, n_rays, seg)
+        rgb_T = rgb_T * (1 + 2 * mlp.rgb_padding) - mlp.rgb_padding
+        density = jax.nn.softplus(
+            raw[:, 3].reshape(n_rays, seg) + noise + mlp.density_bias
+        )
+        wts, _, _, delta = rendering.compute_alpha_weights(
+            density, t_vals, dirs
+        )
+        rend = rendering.volumetric_rendering(
+            None, wts, jnp.full((n_rays, seg, 3), jnp.nan), t_vals,
+            True, 0, False, delta, rgbs_T=rgb_T,
+        )
+        loss = jnp.sum(coeff_rgb[:, None] / 2
+                       * (rend["rgb"] - target) ** 2)
+        return loss, rend["rgb"]
+
+    (_, rgb_o), g_o = jax.value_and_grad(oracle, has_aux=True)(weights)
+
+    dnorm = jnp.linalg.norm(dirs, axis=-1)
+    tmid = 0.5 * (t_vals[:, :-1] + t_vals[:, 1:])
+    delta_r = (t_vals[:, 1:] - t_vals[:, :-1]) * dnorm[:, None]
+    rep = lambda x: op._rep_row(x, seg)  # noqa: E731
+    zero = jnp.zeros((n_rays,))
+    out_rows, d_ws = op.onepass_mip_level_T(
+        weights, means.T, covs.T, views.T, tmid.reshape(1, -1),
+        delta_r.reshape(1, -1), rep(t_vals[:, 0]), rep(t_vals[:, -1]),
+        rep(coeff_rgb), rep(target), rep(zero), rep(zero),
+        noise.reshape(1, -1),
+        seg=seg, white_bkgd=True, rgb_padding=mlp.rgb_padding,
+        density_bias=mlp.density_bias, tile=256, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out_rows[:3, ::seg].T),
+                               np.asarray(rgb_o), atol=1e-5, rtol=1e-5)
+    for i, (gk, go) in enumerate(zip(d_ws, g_o)):
+        np.testing.assert_allclose(
+            np.asarray(gk).reshape(np.asarray(go).shape), np.asarray(go),
+            atol=2e-4, rtol=2e-3, err_msg=f"weight {i}",
+        )
+
+
 def _mip_cfg(**kw):
     base = dict(
         backbone="mipnerf",
@@ -251,6 +321,33 @@ def _mip_step_pair(scene, cfg):
     return st_o, st_r
 
 
+def test_onepass_mip_step_density_noise_runs(scene):
+    """Step-level smoke: density_noise=1 + randomized trains with finite
+    loss and noise actually engages (noise-on vs noise-off params
+    differ). Exact-stream equality vs the two-call step is not expected
+    (the two paths split their level rngs differently)."""
+    from consistentnerf_tpu.data.pipeline import MipBatcher
+
+    cfg = _mip_cfg(density_noise=1.0, randomized=True)
+    assert op.mip_onepass_supported(cfg)
+    model = make_model(cfg)
+    batch = MipBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    step = op.build_onepass_mip_train_step(cfg, donate=False, tile=64)
+    s1, st = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(st["loss"]))
+    step_off = op.build_onepass_mip_train_step(
+        cfg.replace(density_noise=0.0), donate=False, tile=64
+    )
+    s0, _ = step_off(state, batch, jax.random.PRNGKey(0))
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s0.params))
+    ]
+    assert max(diffs) > 0, "density noise had no effect"
+
+
 def test_onepass_mip_step_matches_fused(scene):
     """Whole batch through the mip megakernel (mono metrics off ->
     p == 0): loss and updated params match the two-call fused step."""
@@ -277,7 +374,9 @@ def test_onepass_mip_step_all_patch_rays(scene):
 
 def test_mip_onepass_supported_gating():
     assert op.mip_onepass_supported(_mip_cfg())
-    assert not op.mip_onepass_supported(_mip_cfg(density_noise=1.0))
+    # density noise is supported (an input row on the in-kernel logit;
+    # the paper's mipnerf3/regnerf3 presets set MLP.density_noise=1)
+    assert op.mip_onepass_supported(_mip_cfg(density_noise=1.0))
     assert not op.mip_onepass_supported(_mip_cfg(disable_normals=False))
     assert not op.mip_onepass_supported(
         _mip_cfg(compute_disp_metrics=True)
