@@ -60,7 +60,6 @@ def bench_train() -> dict:
     from consistentnerf_tpu.models.factory import make_model
     from consistentnerf_tpu.parallel import create_mesh, shard_batch
     from consistentnerf_tpu.train import loop as loop_lib
-    from consistentnerf_tpu.train import step as step_lib
 
     cfg = Config(
         backbone="vanilla",
@@ -90,21 +89,8 @@ def bench_train() -> dict:
     n_rays = batch["rgb"].shape[0]
 
     state = loop_lib.init_state(cfg, model, batch)
-    if cfg.use_fused_train:
-        from consistentnerf_tpu.ops import fused_onepass
-
-        if cfg.use_onepass_train and fused_onepass.onepass_supported(cfg):
-            train_step = fused_onepass.build_onepass_vanilla_train_step(
-                cfg, mesh=mesh
-            )
-        else:
-            from consistentnerf_tpu.ops.fused_train import (
-                build_fused_vanilla_train_step,
-            )
-
-            train_step = build_fused_vanilla_train_step(cfg, mesh=mesh)
-    else:
-        train_step = step_lib.build_train_step(model, cfg)
+    # The exact production dispatch (one-pass -> fused -> XLA by config)
+    train_step = loop_lib.select_train_step(cfg, model, mesh=mesh)
 
     sharded = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(0)
@@ -202,7 +188,6 @@ def bench_mip() -> dict:
     from consistentnerf_tpu.models.factory import make_model
     from consistentnerf_tpu.parallel import create_mesh, shard_batch
     from consistentnerf_tpu.train import loop as loop_lib
-    from consistentnerf_tpu.train import step as step_lib
 
     cfg = Config(
         backbone="mipnerf",
@@ -232,18 +217,7 @@ def bench_mip() -> dict:
     batch = batcher.next_batch()
     n_rays = batch["rgb"].shape[0]
     state = loop_lib.init_state(cfg, model, batch)
-    from consistentnerf_tpu.ops import fused_onepass
-    from consistentnerf_tpu.ops.fused_train import build_fused_mip_train_step
-
-    if (cfg.use_fused_train and cfg.use_onepass_train
-            and fused_onepass.mip_onepass_supported(cfg)):
-        train_step = fused_onepass.build_onepass_mip_train_step(
-            cfg, mesh=mesh
-        )
-    elif cfg.use_fused_train:
-        train_step = build_fused_mip_train_step(cfg, mesh=mesh)
-    else:
-        train_step = step_lib.build_train_step(model, cfg)
+    train_step = loop_lib.select_train_step(cfg, model, mesh=mesh)
     key = jax.random.PRNGKey(0)
     sharded = shard_batch(batch, mesh)
     state, stats = train_step(state, sharded, key)
@@ -280,12 +254,15 @@ def _guarded(fn):
             if tier != "onepass":
                 out["fallback_path"] = tier
             return out
-        except Exception as e:  # noqa: BLE001 — deliberate resilience
+        except Exception:  # noqa: BLE001 — deliberate resilience
+            import sys
             import traceback
 
+            # stderr: stdout must stay exactly one JSON line (driver
+            # contract)
             print(f"# bench tier {tier!r} failed: "
                   f"{traceback.format_exc(limit=3)}".replace("\n", " "),
-                  flush=True)
+                  file=sys.stderr, flush=True)
     return {"metric": "bench_failed", "value": 0.0, "unit": "error",
             "vs_baseline": 0.0}
 

@@ -682,8 +682,9 @@ def build_onepass_vanilla_train_step(
     from consistentnerf_tpu.train.state import TrainState, make_optimizer
 
     assert onepass_supported(cfg), (
-        "one-pass fused step requires the hardmask/plain loss family "
-        "with no use_noise/ss_loss; use build_fused_vanilla_train_step"
+        "one-pass fused step requires per-ray losses with parameter-"
+        "independent denominators (hardmask/plain families; soft masks "
+        "are prediction-weighted); use build_fused_vanilla_train_step"
     )
     tx = tx or make_optimizer(cfg)
     tile = tile or cfg.fused_tile
@@ -898,10 +899,7 @@ def build_onepass_vanilla_train_step(
                 ref["origins"].T, d_ref.T, v_ref.T
             )
             mult = cfg.ss_loss_mult
-            cr_ref = mult * jnp.where(
-                3.0 * s1 > 0, 2.0 * w_ss / jnp.maximum(3.0 * s1, 1.0),
-                0.0,
-            )
+            cr_ref = mult * gated_coeff  # same masked-mse rgb coefficient
             if cfg.with_depth_loss:
                 cd_ref = mult * jnp.where(
                     s1 > 0, 2.0 * w_ss / jnp.maximum(s1, 1.0), 0.0

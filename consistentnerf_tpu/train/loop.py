@@ -65,6 +65,52 @@ def init_state(cfg: Config, model, example_batch, rng=None):
     return create_train_state(cfg, params)
 
 
+def select_train_step(cfg, model, mesh=None, lpips_params=None,
+                      donate: bool = True):
+    """The production step dispatch: one-pass megakernel where the
+    config's exact loss is supported, two-call fused otherwise, XLA
+    fallback. Shared by the training loop and bench.py so a gate change
+    cannot make the benchmark measure a different path than training."""
+    if cfg.use_fused_train and cfg.backbone == "vanilla":
+        from consistentnerf_tpu.ops import fused_onepass
+
+        if cfg.use_onepass_train and fused_onepass.onepass_supported(cfg):
+            return fused_onepass.build_onepass_vanilla_train_step(
+                cfg, lpips_params=lpips_params, mesh=mesh, donate=donate
+            )
+        from consistentnerf_tpu.ops.fused_train import (
+            build_fused_vanilla_train_step,
+        )
+
+        return build_fused_vanilla_train_step(
+            cfg, lpips_params=lpips_params, mesh=mesh, donate=donate
+        )
+    if cfg.backbone == "vanilla":
+        return step_lib.build_vanilla_train_step(
+            model, cfg, lpips_params=lpips_params, donate=donate
+        )
+    if cfg.use_fused_train and cfg.backbone == "mipnerf":
+        if not cfg.disable_normals:
+            raise ValueError(
+                "use_fused_train with the mip backbone requires "
+                "disable_normals=true (normals need per-point density "
+                "grads; use the XLA step for normal metrics)"
+            )
+        from consistentnerf_tpu.ops import fused_onepass
+
+        if (cfg.use_onepass_train
+                and fused_onepass.mip_onepass_supported(cfg)):
+            return fused_onepass.build_onepass_mip_train_step(
+                cfg, mesh=mesh, donate=donate
+            )
+        from consistentnerf_tpu.ops.fused_train import (
+            build_fused_mip_train_step,
+        )
+
+        return build_fused_mip_train_step(cfg, mesh=mesh, donate=donate)
+    return step_lib.build_train_step(model, cfg, donate=donate)
+
+
 def train(
     cfg: Config,
     scene: SceneData,
@@ -109,47 +155,8 @@ def train(
                 "weights with cli/export_lpips_weights.py)"
             )
 
-    if cfg.use_fused_train and cfg.backbone == "vanilla":
-        from consistentnerf_tpu.ops import fused_onepass
-
-        if cfg.use_onepass_train and fused_onepass.onepass_supported(cfg):
-            train_step = fused_onepass.build_onepass_vanilla_train_step(
-                cfg, lpips_params=lpips_params, mesh=mesh
-            )
-        else:
-            from consistentnerf_tpu.ops.fused_train import (
-                build_fused_vanilla_train_step,
-            )
-
-            train_step = build_fused_vanilla_train_step(
-                cfg, lpips_params=lpips_params, mesh=mesh
-            )
-    elif cfg.backbone == "vanilla":
-        train_step = step_lib.build_vanilla_train_step(
-            model, cfg, lpips_params=lpips_params
-        )
-    elif cfg.use_fused_train and cfg.backbone == "mipnerf":
-        if not cfg.disable_normals:
-            raise ValueError(
-                "use_fused_train with the mip backbone requires "
-                "disable_normals=true (normals need per-point density "
-                "grads; use the XLA step for normal metrics)"
-            )
-        from consistentnerf_tpu.ops import fused_onepass
-
-        if (cfg.use_onepass_train
-                and fused_onepass.mip_onepass_supported(cfg)):
-            train_step = fused_onepass.build_onepass_mip_train_step(
-                cfg, mesh=mesh
-            )
-        else:
-            from consistentnerf_tpu.ops.fused_train import (
-                build_fused_mip_train_step,
-            )
-
-            train_step = build_fused_mip_train_step(cfg, mesh=mesh)
-    else:
-        train_step = step_lib.build_train_step(model, cfg)
+    train_step = select_train_step(cfg, model, mesh=mesh,
+                                   lpips_params=lpips_params)
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
 
     source: Iterator = Prefetcher(batcher) if use_prefetch else batcher

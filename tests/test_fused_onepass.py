@@ -504,6 +504,29 @@ def test_onepass_step_matches_xla_ss_loss_and_noise(scene):
     _assert_steps_match(state, batch, xla_step, op_step)
 
 
+def test_onepass_step_matches_xla_ss_loss_gated(scene):
+    """The use_gated=True branch (PRNGKey(0) at step 0 draws False, so
+    the other ss tests never fire the coefficient-row swap): PRNGKey(2)
+    draws True — the consistency-masked-MSE fine rgb coefficients must
+    match the XLA step too."""
+    cfg = _vanilla_cfg(ss_loss=True)
+    state, batch, xla_step, op_step = _step_pair(scene, cfg)
+    key = jax.random.PRNGKey(2)
+    step_rng = jax.random.fold_in(key, 0)
+    _, gate_rng = jax.random.split(jax.random.fold_in(step_rng, 1))
+    assert bool(jax.random.bernoulli(gate_rng)), (
+        "test premise: PRNGKey(2) must select the gated branch"
+    )
+    s_x, st_x = xla_step(state, batch, key)
+    s_o, st_o = op_step(state, batch, key)
+    np.testing.assert_allclose(float(st_o["loss"]), float(st_x["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_o.params),
+                    jax.tree_util.tree_leaves(s_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=5e-3)
+
+
 def test_onepass_step_matches_xla_use_noise(scene):
     """Output noise (apply_output_noise): the noise folds into the
     megakernel's target/prior cotangent rows as a shift; same
