@@ -16,6 +16,8 @@ echo "=== batch 6 tile sweep $(date)"
 timeout 3000 python -u tools/ab_bench.py onepass_t1024 onepass_t1536 onepass_t1152 > /tmp/ab_b1b.log 2>&1
 echo "=== batch 7 profile $(date)"
 timeout 1800 python -u tools/profile_step.py onepass_t1024 25 > /tmp/prof_onepass.log 2>&1
+echo "=== batch 7b chain/matmul roofline micro $(date)"
+timeout 3000 python -u tools/ab_bench.py c_xla c_pallas_t512 c_pallas_t1024 c_pallas_t2048 c_pallas_pe k_matmul > /tmp/ab_chain.log 2>&1
 echo "=== batch 8 proof-of-life big batch $(date)"
 bash tools/runs/pol_big.sh > /tmp/pol_big.log 2>&1
 echo "=== all done $(date)"
