@@ -11,7 +11,9 @@ from consistentnerf_tpu.configs import Config, load_config
 def make_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config", type=str, default=None,
-                   help="JSON config file")
+                   help="config file: native JSON, or a reference "
+                        "experiment file (.gin from the RegNeRF grid, "
+                        ".txt from the nerf-pytorch config_parser)")
     p.add_argument(
         "--set",
         dest="overrides",
@@ -69,10 +71,9 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
     """
     explicit = {o.split("=")[0].strip() for o in args.overrides}
     if getattr(args, "config", None):
-        import json
+        from consistentnerf_tpu.configs import config_file_keys
 
-        with open(args.config) as f:
-            explicit |= set(json.load(f))
+        explicit |= config_file_keys(args.config)
     import jax
 
     import jax.numpy as jnp
