@@ -233,3 +233,31 @@ class TestConfigFileKeys:
         with open(p, "w") as f:
             f.write('{"N_rand": 123}')
         assert config_file_keys(p) == {"N_rand"}
+
+
+REFERENCE_GIN_GLOB = "/root/reference/RegNeRF/configs/*/*/*.gin"
+
+
+class TestFullReferenceGrid:
+    """Every checked-in reference gin file loads (skipped when no
+    reference checkout is present)."""
+
+    def test_all_grid_files_load(self):
+        import glob
+
+        import pytest
+
+        files = sorted(glob.glob(REFERENCE_GIN_GLOB))
+        if not files:
+            pytest.skip("reference checkout not present")
+        known_dead = set(legacy._GIN_IGNORED)
+        for path in files:
+            cfg = load_config(path)
+            assert cfg.backbone == "mipnerf", path
+            assert cfg.datadir, path
+            assert cfg.dataset_type in ("dtu", "llff", "blender"), path
+            assert cfg.near < cfg.far, path
+            assert cfg.expname, path
+            with open(path) as f:
+                _, ignored = legacy.gin_overrides(f.read())
+            assert set(ignored) <= known_dead, (path, ignored)
