@@ -129,6 +129,11 @@ def main(argv=None):
     state = create_train_state(cfg, params)
     exp_dir = os.path.join(cfg.basedir, cfg.expname)
     mgr = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    if args.step is None and mgr.latest_step() is None:
+        raise SystemExit(
+            f"no checkpoint found under {exp_dir}/checkpoints — refusing "
+            "to export random-init weights"
+        )
     state = mgr.restore(state, step=args.step)
     step = int(state.step)
 
