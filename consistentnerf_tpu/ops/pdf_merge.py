@@ -118,12 +118,15 @@ def _pdf_merge_kernel(z_ref, w_ref, u_ref, o_ref, zs_ref, *, s_c, s_i):
     cdf1 = jnp.zeros_like(u)
     b0 = jnp.zeros_like(u)
     b1 = jnp.zeros_like(u)
+    # NOTE: lane extraction must be a STATIC slice (k is a Python int):
+    # lax.dynamic_slice lowers to the dynamic_slice primitive, which
+    # real Mosaic does not implement (slice_p it does).
     for k in range(m):
-        ck = jax.lax.dynamic_slice_in_dim(cdf, k, 1, axis=1)
-        bk = jax.lax.dynamic_slice_in_dim(mids, k, 1, axis=1)
+        ck = cdf[:, k:k + 1]
+        bk = mids[:, k:k + 1]
         if k + 1 < m:
-            ck1 = jax.lax.dynamic_slice_in_dim(cdf, k + 1, 1, axis=1)
-            bk1 = jax.lax.dynamic_slice_in_dim(mids, k + 1, 1, axis=1)
+            ck1 = cdf[:, k + 1:k + 2]
+            bk1 = mids[:, k + 1:k + 2]
             mk = (u >= ck) & (u < ck1)
         else:
             ck1, bk1 = ck, bk  # right edge: above clamps to the last entry
@@ -149,9 +152,7 @@ def _pdf_merge_kernel(z_ref, w_ref, u_ref, o_ref, zs_ref, *, s_c, s_i):
     merged = _bitonic_merge_asc(
         jnp.concatenate([part1, part2], axis=-1), 256
     )
-    o_ref[:] = jax.lax.dynamic_slice_in_dim(
-        merged, 128 - s_c, o_ref.shape[-1], axis=1
-    )
+    o_ref[:] = merged[:, 128 - s_c:128 - s_c + o_ref.shape[-1]]
 
 
 def sample_pdf_merged(
@@ -256,12 +257,13 @@ def _mip_resample_kernel(t_ref, w_ref, u_ref, pad_ref, o_ref, *, s):
     cdf1 = jnp.zeros_like(u)
     b0 = jnp.zeros_like(u)
     b1 = jnp.zeros_like(u)
+    # static lane slices — see the dynamic_slice note in _pdf_merge_kernel
     for k in range(s + 1):
-        ck = jax.lax.dynamic_slice_in_dim(cdf, k, 1, axis=1)
-        bk = jax.lax.dynamic_slice_in_dim(t, k, 1, axis=1)
+        ck = cdf[:, k:k + 1]
+        bk = t[:, k:k + 1]
         if k < s:
-            ck1 = jax.lax.dynamic_slice_in_dim(cdf, k + 1, 1, axis=1)
-            bk1 = jax.lax.dynamic_slice_in_dim(t, k + 1, 1, axis=1)
+            ck1 = cdf[:, k + 1:k + 2]
+            bk1 = t[:, k + 1:k + 2]
             mk = (u >= ck) & (u < ck1)
         else:
             ck1, bk1 = ck, bk
