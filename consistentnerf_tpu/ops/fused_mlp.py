@@ -24,6 +24,7 @@ correctness oracle; tests require bit-level agreement (fp32).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Sequence
 
@@ -38,6 +39,25 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512
 
 
+# Process-wide override for auto_interpret's platform heuristic. The
+# Mosaic-lowerability smoke tests set this to False on a CPU host so
+# `jax.export(..., platforms=["tpu"])` lowers the real kernels through
+# Mosaic instead of exporting interpret-mode pallas.
+_INTERPRET_OVERRIDE: bool | None = None
+
+
+@contextlib.contextmanager
+def force_interpret(value: bool | None):
+    """Temporarily pin auto_interpret(None) to `value`."""
+    global _INTERPRET_OVERRIDE
+    prev = _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = value
+    try:
+        yield
+    finally:
+        _INTERPRET_OVERRIDE = prev
+
+
 def auto_interpret(interpret):
     """None => interpret on CPU backends (Mosaic only lowers for TPU).
 
@@ -48,6 +68,8 @@ def auto_interpret(interpret):
     a CPU."""
     if interpret is not None:
         return interpret
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     import jax as _jax
 
     return all(d.platform == "cpu" for d in _jax.devices())
