@@ -112,12 +112,16 @@ def bench_train() -> dict:
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     rays_per_sec = n_steps * n_rays / best_dt
-    return {
+    out = {
         "metric": "train_rays_per_sec_vanilla_64c128f",
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
     }
+    guard = _loss_guard_vanilla(cfg, model, state, sharded)
+    if guard is not None:
+        out["step_loss_err_vs_xla"] = guard
+    return out
 
 
 def bench_render() -> dict:
@@ -234,12 +238,72 @@ def bench_mip() -> dict:
     rps = n_steps * n_rays / best_dt
     # The mip step costs ~2x96 samples at the same MLP budget: same
     # 25k rays/s reference class per ray.
-    return {
+    out = {
         "metric": "train_rays_per_sec_mip_96x2",
         "value": round(rps, 1),
         "unit": "rays/sec",
         "vs_baseline": round(rps / REFERENCE_RAYS_PER_SEC, 3),
     }
+    guard = _loss_guard_mip(cfg, model, state, sharded)
+    if guard is not None:
+        out["step_loss_err_vs_xla"] = guard
+    return out
+
+
+def _loss_guard(build_kernel_step, build_xla_step, state, batch):
+    """|loss(kernel step) - loss(XLA step)| from the SAME trained
+    state/batch/key, both deterministic — the hardware-truth correctness
+    signal next to the speed number, so a Mosaic miscompile shows up in
+    BENCH_r*.json as a value instead of a silent fallback. Run at the
+    post-timing (trained) state: at random init the fine-level resampling
+    amplifies rounding into bin flips and the diff measures sampling
+    noise, not bugs. Returns None when the active tier has no kernel to
+    guard (XLA fallback) or the check itself fails."""
+    import jax
+
+    try:
+        key = jax.random.PRNGKey(7)
+        _, st_k = build_kernel_step()(state, batch, key)
+        _, st_x = build_xla_step()(state, batch, key)
+        return round(abs(float(st_k["loss"]) - float(st_x["loss"])), 6)
+    except Exception:  # noqa: BLE001 — the guard must not kill the line
+        import sys
+        import traceback
+
+        print("# loss guard failed: "
+              f"{traceback.format_exc(limit=3)}".replace("\n", " "),
+              file=sys.stderr, flush=True)
+        return None
+
+
+def _loss_guard_vanilla(cfg, model, state, batch):
+    if not (cfg.use_fused_train and cfg.use_onepass_train):
+        return None
+    from consistentnerf_tpu.ops import fused_onepass
+    from consistentnerf_tpu.train import step as step_lib
+
+    det = cfg.replace(perturb=0.0)
+    return _loss_guard(
+        lambda: fused_onepass.build_onepass_vanilla_train_step(
+            det, donate=False),
+        lambda: step_lib.build_train_step(model, det, donate=False),
+        state, batch,
+    )
+
+
+def _loss_guard_mip(cfg, model, state, batch):
+    if not (cfg.use_fused_train and cfg.use_onepass_train):
+        return None
+    from consistentnerf_tpu.ops import fused_onepass
+    from consistentnerf_tpu.train import step as step_lib
+
+    det = cfg.replace(randomized=False)
+    return _loss_guard(
+        lambda: fused_onepass.build_onepass_mip_train_step(
+            det, donate=False),
+        lambda: step_lib.build_train_step(model, det, donate=False),
+        state, batch,
+    )
 
 
 def _guarded(fn):
