@@ -113,9 +113,12 @@ def build_variant(name, scene, batch):
                            else 0,
                            fused_fwd_streams=streams)
     elif name.startswith("onepass_"):
-        # onepass_[big_]t<tile>[_fp32][_nopdfk]: single-pass megakernel
-        # step; `big` = 16384-ray batch scaling probe; `nopdfk` = XLA
-        # sample_pdf+sort instead of the fused pdf+merge kernel.
+        # onepass_[big_]t<tile>[_fp32][_nopdfk][_noise][_ssloss]:
+        # single-pass megakernel step; `big` = 16384-ray batch scaling
+        # probe; `nopdfk` = XLA sample_pdf+sort instead of the fused
+        # pdf+merge kernel; `noise`/`ssloss` = the use_noise /
+        # online-reprojection trainer rows (each changes the kernel's
+        # coefficient rows — measured and loss-guarded separately).
         spec = name[len("onepass_"):]
         big = spec.startswith("big_")
         if big:
@@ -126,10 +129,28 @@ def build_variant(name, scene, batch):
         if "_nopdfk" in spec:  # position-independent suffix
             spec = spec.replace("_nopdfk", "")
             kw["use_pdf_kernel"] = False
+        if "_noise" in spec:
+            spec = spec.replace("_noise", "")
+            kw["use_noise"] = True
+        if "_ssloss" in spec:
+            spec = spec.replace("_ssloss", "")
+            kw["ss_loss"] = True
         cd = "float32" if spec.endswith("_fp32") else "bfloat16"
         tile = int(spec.split("_")[0])
         cfg = flagship_cfg(use_fused_train=True, use_onepass_train=True,
                            fused_tile=tile, compute_dtype=cd, **kw)
+    elif name.startswith("softlp_"):
+        # softlp_xla | softlp_fused_t<tile>: the softLpmask ablation
+        # family (prediction-dependent global denominators) cannot run
+        # one-pass (ops/fused_onepass.py::onepass_supported); these
+        # measure its production fallback (two-call fused) cost.
+        kw = dict(hardmask=False, softLpmask=True)
+        if name == "softlp_xla":
+            cfg = flagship_cfg(**kw)
+        else:
+            cfg = flagship_cfg(use_fused_train=True,
+                               fused_tile=int(name.split("_t")[-1]),
+                               fused_kernel="v2", **kw)
     elif name == "hybrid_bf16_t512":
         cfg = flagship_cfg(use_fused_train=True, fused_tile=512,
                            fused_kernel="hybrid")
@@ -176,6 +197,22 @@ def check_step_loss(cfg, model, state, batch):
     key = jax.random.PRNGKey(7)
     op_step = fused_onepass.build_onepass_vanilla_train_step(det,
                                                             donate=False)
+    xla = step_lib.build_train_step(model, det, donate=False)
+    _, st_v = op_step(state, batch, key)
+    _, st_x = xla(state, batch, key)
+    return abs(float(st_v["loss"]) - float(st_x["loss"]))
+
+
+def check_step_loss_mip(cfg, model, state, batch):
+    """Mip mirror of check_step_loss (deterministic = randomized off)."""
+    import jax
+
+    from consistentnerf_tpu.ops import fused_onepass
+    from consistentnerf_tpu.train import step as step_lib
+
+    det = cfg.replace(randomized=False)
+    key = jax.random.PRNGKey(7)
+    op_step = fused_onepass.build_onepass_mip_train_step(det, donate=False)
     xla = step_lib.build_train_step(model, det, donate=False)
     _, st_v = op_step(state, batch, key)
     _, st_x = xla(state, batch, key)
@@ -312,14 +349,19 @@ def run_mip_variants(names):
         if name == "mip_xla":
             cfg = mip_cfg()
         elif name.startswith("mip_onepass"):
-            # mip_onepass[_big][_t<tile>][_nopdfk]: one-pass mip
+            # mip_onepass[_big][_t<tile>][_nopdfk][_dnoise]: one-pass mip
             # megakernel step; `big` = 4x-ray batch-scaling probe;
-            # `nopdfk` = XLA resampler instead of the fused pdf kernel.
+            # `nopdfk` = XLA resampler instead of the fused pdf kernel;
+            # `dnoise` = density_noise=1 (the paper's mipnerf3/regnerf3
+            # presets) exercising the per-point logit-noise kernel row.
             spec = name
             kw = {}
             if "_nopdfk" in spec:  # position-independent suffix
                 spec = spec.replace("_nopdfk", "")
                 kw["use_pdf_kernel"] = False
+            if "_dnoise" in spec:
+                spec = spec.replace("_dnoise", "")
+                kw["density_noise"] = 1.0
             tile = int(spec.split("_t")[-1]) if "_t" in spec else 1024
             if "_big" in spec:
                 kw["N_rand"] = 16384 - 4 * 256
@@ -349,13 +391,22 @@ def run_mip_variants(names):
             ts = build_fused_mip_train_step(cfg, donate=False)
         else:
             ts = step_lib.build_train_step(model, cfg, donate=False)
-        ms, loss, _ = time_variant(name, state, ts, batch)
+        ms, loss, state = time_variant(name, state, ts, batch)
+        loss_err = None
+        if cfg.use_onepass_train:
+            try:
+                loss_err = check_step_loss_mip(cfg, model, state, batch)
+            except Exception as e:
+                print(f"{name}: check_step_loss_mip failed: "
+                      f"{str(e)[:200]}", flush=True)
         results[name] = dict(
             ms_per_step=round(ms * 1e3, 2),
             rays_per_sec=round(n_rays / ms, 0),
             final_loss=round(loss, 5),
             total_wall_s=round(time.time() - t_start, 1),
         )
+        if loss_err is not None:
+            results[name]["step_loss_err_vs_xla"] = round(loss_err, 6)
         print(name, json.dumps(results[name]), flush=True)
     return results
 
