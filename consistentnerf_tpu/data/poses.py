@@ -87,73 +87,77 @@ def poses_avg(poses):
     return np.concatenate([viewmatrix(vec2, up, center), hwf], 1)
 
 
-def recenter_poses(poses):
-    """Recenter a pose stack about its average pose (load_llff.py:256-268)."""
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses_4 = np.concatenate([poses[:, :3, :4], bottom], -2)
+def _homogeneous(mats34):
+    """[N, 3, 4] camera matrices -> [N, 4, 4] with a (0,0,0,1) last row."""
+    last_row = np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]),
+                       [mats34.shape[0], 1, 1])
+    return np.concatenate([mats34, last_row], 1)
 
-    poses_4 = np.linalg.inv(c2w) @ poses_4
-    poses_[:, :3, :4] = poses_4[:, :3, :4]
-    return poses_
+
+def recenter_poses(poses):
+    """Recenter a pose stack about its average pose (bit-matches
+    load_llff.py:256-268 — oracle-pinned camera geometry)."""
+    out = poses + 0
+    avg_h = np.concatenate(
+        [poses_avg(poses)[:3, :4], np.reshape([0, 0, 0, 1.0], [1, 4])], -2
+    )
+    cams_h = _homogeneous(poses[:, :3, :4])
+    out[:, :3, :4] = (np.linalg.inv(avg_h) @ cams_h)[:, :3, :4]
+    return out
+
+
+def _nearest_point_to_axes(origins, axes):
+    """Least-squares point closest to every camera focal axis.
+
+    Each axis contributes a residual projected onto the plane orthogonal
+    to its direction; the normal equations solve for the crossing point.
+    """
+    proj = np.eye(3) - axes * np.transpose(axes, [0, 2, 1])
+    rhs = -proj @ origins
+    normal = (np.transpose(proj, [0, 2, 1]) @ proj).mean(0)
+    return np.squeeze(-np.linalg.inv(normal) @ rhs.mean(0))
+
+
+def _orbit_pose(theta, orbit_radius, orbit_height):
+    """A camera on the z=orbit_height circle, looking at the origin."""
+    position = np.array([orbit_radius * np.cos(theta),
+                         orbit_radius * np.sin(theta), orbit_height])
+    forward = normalize(position)
+    right = normalize(np.cross(forward, np.array([0, 0, -1.0])))
+    down = normalize(np.cross(forward, right))
+    return np.stack([right, down, forward, position], 1)
 
 
 def spherify_poses(poses, bds):
     """Recenter 360-degree captures about the point nearest all focal axes
     and rescale to unit radius; also returns a circular render path
-    (load_llff.py:223-279)."""
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]),
-                    [p.shape[0], 1, 1])], 1
-    )
+    (bit-matches load_llff.py:223-279 — oracle-pinned camera geometry,
+    including its arbitrary [.1,.2,.3] cross-product seed)."""
+    focus = _nearest_point_to_axes(poses[:, :3, 3:4], poses[:, :3, 2:3])
+    mean_up = (poses[:, :3, 3] - focus).mean(0)
 
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    axis_z = normalize(mean_up)
+    axis_x = normalize(np.cross([0.1, 0.2, 0.3], axis_z))
+    axis_y = normalize(np.cross(axis_z, axis_x))
+    frame = np.stack([axis_x, axis_y, axis_z, focus], 1)
 
-    def min_line_dist(rays_o, rays_d):
-        a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -a_i @ rays_o
-        return np.squeeze(
-            -np.linalg.inv((np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0))
-            @ (b_i).mean(0)
-        )
-
-    center = min_line_dist(rays_o, rays_d)
-    up = (poses[:, :3, 3] - center).mean(0)
-
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(
+    world = np.linalg.inv(_homogeneous(frame[None])) @ _homogeneous(
         poses[:, :3, :4]
     )
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    mean_radius = np.sqrt(np.mean(np.sum(np.square(world[:, :3, 3]), -1)))
 
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
+    scale = 1.0 / mean_radius
+    world[:, :3, 3] *= scale
+    bds = bds * scale
+    mean_radius *= scale
 
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array(
-            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
-        )
-        up = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    return poses_reset[:, :3, :4], new_poses, bds
+    orbit_height = np.mean(world[:, :3, 3], 0)[2]
+    orbit_radius = np.sqrt(mean_radius**2 - orbit_height**2)
+    orbit = np.stack(
+        [_orbit_pose(theta, orbit_radius, orbit_height)
+         for theta in np.linspace(0.0, 2.0 * np.pi, 120)], 0
+    )
+    return world[:, :3, :4], orbit, bds
 
 
 def generate_spiral_path(

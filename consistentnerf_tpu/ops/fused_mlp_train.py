@@ -1,5 +1,14 @@
 """Trainable fused MLP: Pallas forward + Pallas backward with custom VJP.
 
+STATUS: A/B BASELINE ONLY. This is the first-generation train kernel,
+superseded in production by `ops.fused_mlp_v2` (the two-call fused step)
+and `ops.fused_onepass` (the one-pass megakernel). It is kept as the
+measured baseline for `tools/ab_bench.py` kernel-generation comparisons
+(`fused_fp32`/`k_fused*` variants) and its tests pin the shared layout
+contract; no production config routes through it
+(Config.fused_kernel defaults to "v2"; only an explicit non-default
+fused_kernel reaches this module via `ops.fused_train`).
+
 XLA's backward pass for the NeRF MLP stores every 256-wide activation in
 HBM during forward (~5+ GB round-trip per step at production batch sizes).
 This op recomputes activations tile-by-tile *inside VMEM* during the

@@ -585,13 +585,26 @@ def onepass_supported(cfg) -> bool:
     """Whether the one-pass megakernel step computes cfg's exact loss.
 
     Requires per-ray loss terms with parameter-independent denominators
-    (hardmask / softmask-as-hardmask / plain MSE families; soft masks
-    have prediction-dependent global denominators, unknowable during the
-    kernel's single pass). Output noise folds into the cotangent rows as
-    a target shift; the ss_loss online-reprojection term is supported
-    too (its consistency weight is a pure function of batch data, so the
-    gating swaps coefficient rows and the reference-ray renders run in
-    their own megakernel pair).
+    (hardmask / softmask-as-hardmask / plain MSE families). Output noise
+    folds into the cotangent rows as a target shift; the ss_loss
+    online-reprojection term is supported too (its consistency weight is
+    a pure function of batch data, so the gating swaps coefficient rows
+    and the reference-ray renders run in their own megakernel pair).
+
+    softLpmask (img2mse_softLpmask, run_nerf_view.py:58) is excluded BY
+    ANALYSIS, not omission: its rgb and depth terms carry two DISTINCT
+    prediction-dependent stop-gradient denominators (sum of |residual|^p
+    weights). Each denominator is value-only (no gradient path), so a
+    single such term could run unscaled in-kernel with dW post-scaled by
+    1/D (gradients are linear in the cotangents) — but a level's bwd
+    accumulates the rgb and depth cotangents into ONE dW, and
+    dW = A/D_rgb + B/D_d cannot be recovered from a single joint
+    accumulation. Every exact alternative (forward pre-pass to obtain
+    the denominators, two-pass grid with residual stash, dual dW
+    scratch) costs >= 4x fwd-FLOPs or ~2x VMEM — exactly the two-call
+    fused fallback's budget, so for this ablation family the fallback IS
+    the optimal restructure; its measured cost is recorded in
+    RUNS_r4.md (tools/ab_bench.py softlp_fused vs onepass).
     """
     return (
         cfg.backbone == "vanilla"

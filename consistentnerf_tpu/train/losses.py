@@ -298,7 +298,7 @@ def mip_losses(
         "losses": rgb_v,
         "depth_mses": depth_v,
         "mono_depth_mses": mono_v,
-        "losses_georeg": tv_v,
+        "patch_tv_losses": tv_v,
         "weight_l2": weight_l2,
         "psnr": mathx.mse_to_psnr(rgb_v[-1]),
         "psnrs": mathx.mse_to_psnr(rgb_v),

@@ -580,6 +580,33 @@ def test_onepass_step_shard_map_matches_unsharded(scene):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_softlp_fallback_matches_xla(scene):
+    """The softLpmask family falls back to the two-call fused step
+    (prediction-dependent global denominators — see
+    onepass_supported's docstring); that fallback must compute the
+    exact XLA loss and parameter updates."""
+    from consistentnerf_tpu.ops.fused_train import (
+        build_fused_vanilla_train_step,
+    )
+
+    cfg = _vanilla_cfg(hardmask=False, softLpmask=True)
+    assert not op.onepass_supported(cfg)
+    model = make_model(cfg)
+    batch = VanillaBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    xla_step = step_lib.build_vanilla_train_step(model, cfg, donate=False)
+    fused_step = build_fused_vanilla_train_step(cfg, donate=False, tile=64)
+    key = jax.random.PRNGKey(0)
+    s_x, st_x = xla_step(state, batch, key)
+    s_f, st_f = fused_step(state, batch, key)
+    np.testing.assert_allclose(float(st_f["loss"]), float(st_x["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                    jax.tree_util.tree_leaves(s_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=5e-3)
+
+
 def test_onepass_supported_gating():
     assert op.onepass_supported(_vanilla_cfg())
     # use_noise and ss_loss are supported (coefficient-row treatments)

@@ -150,8 +150,8 @@ def test_mip_step_with_tvnorm_random_rays(scene):
     state = loop_lib.init_state(cfg, model, batch)
     train_step = step_lib.build_train_step(model, cfg, donate=False)
     _, stats = train_step(state, batch, jax.random.PRNGKey(0))
-    assert np.all(np.isfinite(np.asarray(stats["losses_georeg"])))
-    assert float(np.asarray(stats["losses_georeg"]).sum()) != 0.0
+    assert np.all(np.isfinite(np.asarray(stats["patch_tv_losses"])))
+    assert float(np.asarray(stats["patch_tv_losses"]).sum()) != 0.0
 
 
 def test_vanilla_converges_on_synthetic(scene):
