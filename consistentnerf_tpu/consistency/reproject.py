@@ -157,6 +157,104 @@ def hard_mask_for_target(
     return jnp.any(masks, axis=0).reshape(H, W)
 
 
+@functools.partial(jax.jit, static_argnames=("H", "W", "threshold",
+                                              "min_consensus"))
+def fused_depth_for_target(
+    tgt_pose: jnp.ndarray,
+    tgt_depth: jnp.ndarray,
+    ref_poses: jnp.ndarray,
+    ref_depths: jnp.ndarray,
+    K: jnp.ndarray,
+    H: int,
+    W: int,
+    threshold: float = 0.1,
+    min_consensus: int = 1,
+) -> jnp.ndarray:
+    """Cross-view occlusion-tested depth fusion for one target view.
+
+    The same geometric test the reference applies at mask time
+    (mask_generator.py:284-297 / run_nerf_view.py:1014-1046), applied at
+    PRIOR time, MVSNet-fusion style: lift each target pixel through its
+    candidate depth, check the point against every reference view's
+    depth map (|z_in_ref - ref_depth| < threshold), re-lift the
+    reference's estimate and read its depth along the target ray. Pixels
+    confirmed by >= min_consensus other views keep the MEAN of the
+    agreeing estimates (noise reduction); unconfirmed pixels drop to
+    zero-depth = "no prior" (the MVS PFMs' background convention), so
+    downstream masks and the depth loss ignore them.
+
+    tgt_pose/ref_poses: [3,4] / [R,3,4] c2w; depths z-convention as in
+    consistency_mask_pair. Returns [H, W] fused depth.
+    """
+    rays_o, rays_d = rays_core.get_rays(H, W, K, tgt_pose)
+    d_t = tgt_depth.reshape(-1)
+    points_w = (
+        rays_o.reshape(-1, 3) + d_t[:, None] * rays_d.reshape(-1, 3)
+    )
+    c2w_t = jnp.eye(4).at[:3, :4].set(tgt_pose)
+    w2c_t = jnp.linalg.inv(c2w_t)
+
+    def per_ref(ref_pose, ref_depth):
+        c2w_r = jnp.eye(4).at[:3, :4].set(ref_pose)
+        w2c_r = jnp.linalg.inv(c2w_r)
+        x, y, z_ref, inb = world_to_ref_pixels(points_w, w2c_r, K, H, W)
+        xi = jnp.clip(x, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(y, 0, H - 1).astype(jnp.int32)
+        d_ref = ref_depth[yi, xi]
+        consistent = inb & (d_ref > 0) & (
+            jnp.abs(z_ref - d_ref) < threshold
+        )
+        # Re-lift the reference's own estimate of the surface and read
+        # its depth along the TARGET ray (z in the target camera).
+        ro_r, rd_r = rays_core.get_rays(H, W, K, ref_pose)
+        ro_r = ro_r.reshape(-1, 3)[yi * W + xi]
+        rd_r = rd_r.reshape(-1, 3)[yi * W + xi]
+        x_back = ro_r + d_ref[:, None] * rd_r
+        _, _, z_t, _ = world_to_ref_pixels(x_back, w2c_t, K, H, W)
+        consistent = consistent & (z_t > 0)
+        return consistent, jnp.where(consistent, z_t, 0.0)
+
+    consistent, estimates = jax.vmap(per_ref)(ref_poses, ref_depths)
+    votes = jnp.sum(consistent, axis=0)  # [H*W]
+    keep = (d_t > 0) & (votes >= min_consensus)
+    fused = (d_t + jnp.sum(estimates, axis=0)) / (1.0 + votes)
+    return jnp.where(keep, fused, 0.0).reshape(H, W)
+
+
+def fuse_depth_priors(
+    poses: np.ndarray,
+    depths: np.ndarray,
+    K: np.ndarray,
+    i_train: np.ndarray,
+    H: int,
+    W: int,
+    threshold: float = 0.1,
+    min_consensus: int = 1,
+) -> np.ndarray:
+    """Occlusion-tested consensus fusion of per-view depth priors
+    (fused_depth_for_target over every train view; zeros elsewhere)."""
+    poses = np.asarray(poses)[:, :3, :4].astype(np.float32)
+    depths = np.asarray(depths).astype(np.float32)
+    i_train = np.asarray(i_train)
+    out = np.zeros_like(depths)
+    for tgt in i_train:
+        refs = np.array([r for r in i_train if r != tgt])
+        if refs.size == 0:
+            out[tgt] = depths[tgt]
+            continue
+        out[tgt] = np.asarray(
+            fused_depth_for_target(
+                jnp.asarray(poses[tgt]),
+                jnp.asarray(depths[tgt]),
+                jnp.asarray(poses[refs]),
+                jnp.asarray(depths[refs]),
+                jnp.asarray(K, jnp.float32),
+                H, W, threshold, min_consensus,
+            )
+        )
+    return out
+
+
 def compute_hard_masks(
     poses: np.ndarray,
     depths: np.ndarray,

@@ -49,6 +49,26 @@ def warmup_config(cfg, warmup_steps: int):
     )
 
 
+def render_warmup_depths(warm_cfg, scene, params) -> np.ndarray:
+    """Expected-termination depth of each train view under `params`,
+    zeroed where the ray saw nothing (acc ~ 0 background) so the masks
+    treat it as "no prior" — matching the MVS PFMs' zero-depth
+    background convention."""
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import render as render_lib
+    from consistentnerf_tpu.train.evaluation import camera_rays_for_view
+
+    model = make_model(warm_cfg)
+    render = render_lib.build_render_fn(model, warm_cfg, params)
+    depths = np.zeros(scene.images.shape[:3], np.float32)
+    for vid in np.asarray(scene.i_train):
+        rays = camera_rays_for_view(scene, scene.poses[vid])
+        out = render(rays)
+        acc = np.asarray(out["acc"])
+        depths[vid] = np.asarray(out["depth"]) * (acc > 0.5)
+    return depths
+
+
 def bootstrap_scene_priors(
     cfg,
     scene,
@@ -69,10 +89,7 @@ def bootstrap_scene_priors(
             "LLFF) scenes are not supported — train with spherify or "
             "provide external priors"
         )
-    from consistentnerf_tpu.models.factory import make_model
     from consistentnerf_tpu.train import loop as loop_lib
-    from consistentnerf_tpu.train import render as render_lib
-    from consistentnerf_tpu.train.evaluation import camera_rays_for_view
 
     warm_cfg = warmup_config(cfg, warmup_steps)
     # The warmup trains on a prior-free copy (unit masks, zero depths).
@@ -89,19 +106,21 @@ def bootstrap_scene_priors(
         use_prefetch=use_prefetch,
     )
 
-    model = make_model(warm_cfg)
     params = jax.device_get(result.state).params
-    render = render_lib.build_render_fn(model, warm_cfg, params)
+    depths = render_warmup_depths(warm_cfg, scene, params)
 
-    depths = np.zeros(shape, np.float32)
-    for vid in np.asarray(scene.i_train):
-        rays = camera_rays_for_view(scene, scene.poses[vid])
-        out = render(rays)
-        # Expected termination depth, zeroed where the ray saw nothing
-        # (acc ~ 0 background) so the masks treat it as "no prior" —
-        # matching the MVS PFMs' zero-depth background convention.
-        acc = np.asarray(out["acc"])
-        depths[vid] = np.asarray(out["depth"]) * (acc > 0.5)
+    if getattr(cfg, "bootstrap_fuse_priors", True):
+        # Cross-view occlusion-tested consensus (the reference's mask-
+        # time geometric test, applied at prior time): keeps only depths
+        # other views confirm and averages the agreeing estimates —
+        # measured to cut prior depth-MSE vs raw warmup depth
+        # (tests/test_bootstrap.py::test_fused_priors_beat_raw_warmup).
+        log_fn("bootstrap: cross-view consensus fusion of warmup depths")
+        depths = reproject.fuse_depth_priors(
+            scene.poses, depths, scene.K, scene.i_train, scene.H,
+            scene.W, threshold=cfg.occlusion_threshold,
+            min_consensus=getattr(cfg, "bootstrap_fuse_min_consensus", 1),
+        )
 
     log_fn("bootstrap: generating hard masks from warmup depths")
     masks = reproject.compute_hard_masks(

@@ -49,6 +49,43 @@ def _heldout_metrics(model, cfg, params, scene):
     return float(np.mean(derr)), float(np.mean(psnr))
 
 
+def test_fused_priors_beat_raw_warmup_synthetic():
+    """Cross-view consensus fusion (reproject.fuse_depth_priors) must cut
+    prior depth-MSE vs the raw per-view depths it is fed: Gaussian noise
+    averages down across agreeing views, and view-independent gross
+    outliers fail the occlusion test and lose their prior entirely."""
+    from consistentnerf_tpu.consistency import reproject
+
+    scene = synthetic.make_scene(n_views=8, H=48, W=48).to_scene_data()
+    gt = scene.depths
+    rng = np.random.RandomState(0)
+    # Simulated warmup error: fog noise everywhere + 5% gross outliers
+    # (independent per view, so other views cannot confirm them).
+    noisy = gt + (gt > 0) * rng.normal(0, 0.03, gt.shape)
+    outliers = (rng.rand(*gt.shape) < 0.05) & (gt > 0)
+    noisy = np.where(outliers, gt + rng.uniform(0.5, 1.5, gt.shape),
+                     noisy).astype(np.float32)
+
+    fused = reproject.fuse_depth_priors(
+        scene.poses, noisy, scene.K, scene.i_train, scene.H, scene.W,
+        threshold=0.1, min_consensus=1,
+    )
+
+    tr = np.asarray(scene.i_train)
+    m_raw = (noisy[tr] > 0) & (gt[tr] > 0)
+    m_fused = (fused[tr] > 0) & (gt[tr] > 0)
+    mse_raw = float(np.mean((noisy[tr][m_raw] - gt[tr][m_raw]) ** 2))
+    mse_fused = float(np.mean((fused[tr][m_fused] - gt[tr][m_fused]) ** 2))
+    # Fusion must at least halve the prior error here (measured ~10x).
+    assert mse_fused < 0.5 * mse_raw, (mse_fused, mse_raw)
+    # Outlier pixels are overwhelmingly rejected...
+    out_kept = float(np.mean(fused[tr][outliers[tr]] > 0))
+    assert out_kept < 0.2, out_kept
+    # ...while coverage of genuine prior pixels survives.
+    cov = float(np.mean(fused[tr][m_raw & ~outliers[tr]] > 0))
+    assert cov > 0.5, cov
+
+
 def test_bootstrap_priors_end_to_end(tmp_path):
     # 500 steps: below ~400 the warmup is still foggy and the depth
     # priors are not yet meaningful (measured: 0.38 MSE at 350 steps vs
@@ -87,6 +124,28 @@ def test_bootstrap_priors_end_to_end(tmp_path):
     # Measured 0.044 at these settings; 0.2 leaves platform headroom
     # while still rejecting fog priors (those measure >1).
     assert prior_mse < 0.2, prior_mse
+
+    # Consensus fusion must not make the REAL warmup priors worse, and
+    # on prior-carrying pixels it should beat or match them (the big
+    # wins show on outlier-contaminated depth — see the synthetic
+    # corruption test; warmup depth at convergence is already smooth).
+    from consistentnerf_tpu.consistency import reproject
+    from consistentnerf_tpu.train.bootstrap import render_warmup_depths
+
+    raw = render_warmup_depths(
+        warmup_config(cfg, steps), scene,
+        jax.device_get(warm.state).params,
+    )
+    fused = reproject.fuse_depth_priors(
+        scene.poses, raw, scene.K, scene.i_train, scene.H, scene.W,
+        threshold=cfg.occlusion_threshold,
+    )
+    m_raw = (raw[tr] > 0) & (scene.depths[tr] > 0)
+    m_fu = (fused[tr] > 0) & (scene.depths[tr] > 0)
+    mse_raw = float(np.mean((raw[tr][m_raw] - scene.depths[tr][m_raw]) ** 2))
+    mse_fu = float(np.mean((fused[tr][m_fu] - scene.depths[tr][m_fu]) ** 2))
+    assert mse_fu <= mse_raw * 1.05, (mse_fu, mse_raw)
+    assert float(np.mean(m_fu)) > 0.3 * float(np.mean(m_raw))
 
     model = make_model(cfg)
     warm_params = jax.device_get(warm.state).params
