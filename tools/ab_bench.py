@@ -742,7 +742,7 @@ def run_matmul_micro():
                 a + s, b, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         flops = 2 * sa[0] * sa[1] * sb[1]
-        jax.block_until_ready(f(a, b, jnp.bfloat16(0)))
+        float(jnp.sum(f(a, b, jnp.bfloat16(0))))  # compile + hard sync
         REPS = 16
         best = float("inf")
         for trial in range(3):
@@ -751,7 +751,9 @@ def run_matmul_micro():
             for i in range(REPS):
                 s = jnp.bfloat16(1e-3 * (trial * REPS + i + 1))
                 r = f(a, b, s)
-            jax.block_until_ready(r)
+            # float() hard sync: block_until_ready has returned early
+            # through the relay (CLAUDE.md) and reported >peak TFLOPS.
+            float(jnp.sum(r))
             best = min(best, (time.perf_counter() - t0) / REPS)
         results[name] = {
             "ms": round(best * 1e3, 3),
@@ -855,6 +857,102 @@ def run_chain_micro(names):
                     out_shape=jax.ShapeDtypeStruct((N, C), jnp.bfloat16),
                 )(x8 + s, w0, *ws[: L - 1])
 
+        elif name == "c_pallas_pe2":
+            # The PRODUCTION entry (fused_mlp_v2 packed PE): one
+            # [tile,3]x[3,128] dot + bias + ONE sin pass, then a
+            # [tile,128]x[128,256] first dot and the aligned chain —
+            # measures the real kernel's entry overhead (c_pallas_pe
+            # measures the superseded 21-piece-concat entry).
+            from consistentnerf_tpu.ops import fused_mlp_v2 as v2mod
+
+            F = jnp.asarray(v2mod._freq_matrix(10), jnp.float32)  # [3,128]
+            w0 = jax.random.normal(jax.random.PRNGKey(100), (128, C),
+                                   jnp.bfloat16) * 0.05
+            tile = 512
+
+            def kernel(x_ref, f_ref, w0_ref, *refs):
+                *w_refs, o_ref = refs
+                p = jnp.dot(x_ref[:, :3].astype(jnp.float32), f_ref[:],
+                            preferred_element_type=jnp.float32
+                            ) + v2mod._phase_bias()
+                sc = jnp.sin(p).astype(jnp.bfloat16)
+                h = jnp.dot(sc, w0_ref[:],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                for w_ref in w_refs:
+                    h = jnp.dot(
+                        h, w_ref[:], preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                o_ref[:] = h
+
+            x8 = jax.random.normal(jax.random.PRNGKey(7), (N, 8),
+                                   jnp.bfloat16)
+
+            def fn(x, s, _t=tile):
+                return pl.pallas_call(
+                    kernel,
+                    grid=(N // _t,),
+                    in_specs=[
+                        pl.BlockSpec((_t, 8), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((3, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((128, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ] + [
+                        pl.BlockSpec((C, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(L - 1)
+                    ],
+                    out_specs=pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((N, C), jnp.bfloat16),
+                )(x8 + s, F, w0, *ws[: L - 1])
+
+        elif name.startswith("c_dual") or name.startswith("c_quad"):
+            # c_dual_t<tile> / c_quad_t<tile>: the tile split into 2/4
+            # independent column chunks with the LAYER loop outermost —
+            # adjacent matmuls carry no data dependency. If the single
+            # chain's ~88 TFLOPS is MXU pipeline fill/drain on the
+            # dependent chain, this should exceed it; if Mosaic
+            # serializes matmuls regardless, it won't. Decides whether
+            # stream-interleaving the real kernel is worth re-attacking.
+            nstreams = 2 if name.startswith("c_dual") else 4
+            tile = int(name.split("_t")[-1]) if "_t" in name else 512
+
+            def kernel(x_ref, *refs, _ns=nstreams, _t=tile):
+                *w_refs, o_ref = refs
+                chunk = _t // _ns
+                hs = [x_ref[c * chunk:(c + 1) * chunk, :]
+                      for c in range(_ns)]
+                for w_ref in w_refs:
+                    w = w_ref[:]
+                    hs = [
+                        jnp.dot(h, w,
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)
+                        for h in hs
+                    ]
+                for c in range(_ns):
+                    o_ref[c * chunk:(c + 1) * chunk, :] = hs[c]
+
+            def fn(x, s, _t=tile):
+                return pl.pallas_call(
+                    kernel,
+                    grid=(N // _t,),
+                    in_specs=[
+                        pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                    ] + [
+                        pl.BlockSpec((C, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(L)
+                    ],
+                    out_specs=pl.BlockSpec((_t, C), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((N, C), jnp.bfloat16),
+                )(x + s, *ws)
+
         elif name.startswith("c_pallas"):
             tile = int(name.split("_t")[-1]) if "_t" in name else 512
             with_sin = "sin" in name
@@ -895,7 +993,7 @@ def run_chain_micro(names):
             raise ValueError(name)
 
         f = jax.jit(fn)
-        jax.block_until_ready(f(x, jnp.bfloat16(0)))
+        float(jnp.sum(f(x, jnp.bfloat16(0))))  # compile + hard sync
         REPS = 10
         best = float("inf")
         for trial in range(3):
@@ -903,7 +1001,9 @@ def run_chain_micro(names):
             r = None
             for i in range(REPS):
                 r = f(x, jnp.bfloat16(1e-3 * (trial * REPS + i + 1)))
-            jax.block_until_ready(r)
+            # float() hard sync (block_until_ready returns early through
+            # the relay — CLAUDE.md timing caveats).
+            float(jnp.sum(r))
             best = min(best, (time.perf_counter() - t0) / REPS)
         results[name] = {
             "ms": round(best * 1e3, 2),
