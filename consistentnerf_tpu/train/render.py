@@ -82,7 +82,7 @@ def build_render_fn(model, cfg, params) -> Callable[[Rays], Dict[str, Any]]:
                     compute_dtype=jnp.dtype(cfg.compute_dtype).type,
                     kernel=cfg.fused_kernel,
                     onepass=getattr(cfg, "use_onepass_render", False),
-                    pdf_kernel=getattr(cfg, "use_pdf_kernel", True),
+                    pdf_kernel=getattr(cfg, "use_pdf_kernel", False),
                 )
                 return {
                     "rgb": out["rgb"],

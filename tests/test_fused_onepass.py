@@ -483,6 +483,15 @@ def test_onepass_step_matches_xla_plain_mse(scene):
     _assert_steps_match(*_step_pair(scene, cfg))
 
 
+def test_onepass_step_matches_xla_pdf_kernel(scene):
+    """The fused inverse-CDF + merge resampler (use_pdf_kernel=True —
+    default-off since the round-4 A/B measured it perf-neutral, but the
+    path stays equality-covered): deterministic draws bit-match the XLA
+    resampler, so the whole step must match too."""
+    cfg = _vanilla_cfg(use_pdf_kernel=True)
+    _assert_steps_match(*_step_pair(scene, cfg))
+
+
 def test_onepass_step_matches_xla_ss_loss(scene):
     """Online-reprojection term: gated fine-rgb coefficient rows +
     reference-ray megakernels; loss/ss_loss/params match the XLA step

@@ -108,12 +108,12 @@ def _vanilla_step_args(scene, cfg):
 @pytest.mark.parametrize(
     "kw",
     [
-        {},  # flagship: hardmask + depth + patches, pdf kernel on
+        {},  # flagship: hardmask + depth + patches (XLA resampler)
         {"use_noise": True},
         {"ss_loss": True},
-        {"use_pdf_kernel": False},
+        {"use_pdf_kernel": True},
     ],
-    ids=["plain", "use_noise", "ss_loss", "nopdfk"],
+    ids=["plain", "use_noise", "ss_loss", "pdfk"],
 )
 def test_onepass_vanilla_step_lowers_for_tpu(scene, kw):
     from consistentnerf_tpu.ops import fused_onepass as op
@@ -129,9 +129,9 @@ def test_onepass_vanilla_step_lowers_for_tpu(scene, kw):
     [
         {},
         {"density_noise": 1.0},
-        {"use_pdf_kernel": False},
+        {"use_pdf_kernel": True},
     ],
-    ids=["plain", "density_noise", "nopdfk"],
+    ids=["plain", "density_noise", "pdfk"],
 )
 def test_onepass_mip_step_lowers_for_tpu(scene, kw):
     from consistentnerf_tpu.ops import fused_onepass as op
