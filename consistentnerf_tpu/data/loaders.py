@@ -256,7 +256,9 @@ def load_scene(cfg, attach=True) -> SceneData:
     elif cfg.dataset_type == "synthetic":
         from consistentnerf_tpu.data import synthetic
 
-        scene = synthetic.make_scene().to_scene_data()
+        scene = synthetic.make_scene().to_scene_data(
+            interleave_test=getattr(cfg, "synthetic_interleave_test", True)
+        )
     else:
         raise ValueError(f"Unknown dataset type {cfg.dataset_type!r}")
 

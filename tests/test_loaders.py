@@ -289,6 +289,17 @@ def test_load_scene_dispatch_synthetic():
     cfg = Config(dataset_type="synthetic")
     scene = load_scene(cfg, attach=False)
     assert scene.images.ndim == 4
+    # Default split is interleaved (the proof-of-life quality bars were
+    # measured on interleaved held-out views); the tail-arc holdout (the
+    # deliberately-hard sparse-view regime) stays selectable.
+    n = scene.images.shape[0]
+    assert list(scene.i_test) != list(range(n - len(scene.i_test), n))
+    tail = load_scene(
+        Config(dataset_type="synthetic", synthetic_interleave_test=False),
+        attach=False,
+    )
+    assert list(tail.i_test) == list(range(n - len(tail.i_test), n))
+    assert not set(scene.i_test) & set(scene.i_train)
 
 
 def _write_llff_orbit_fixture(root, n=16, h=32, w=40):

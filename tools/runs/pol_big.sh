@@ -4,7 +4,7 @@ rm -rf /tmp/polbig
 FLAG="--set dataset_type=synthetic --set backbone=vanilla \
  --set N_samples=64 --set N_importance=128 --set N_rand=16384 \
  --set n_patches=4 --set patch_size=16 --set hardmask=true \
- --set with_depth_loss=true --set white_bkgd=true \
+ --set with_depth_loss=true --set white_bkgd=true --set synthetic_interleave_test=true \
  --set compute_dtype=bfloat16 \
  --set basedir=/tmp/polbig --set expname=van \
  --set i_print=400 --set checkpoint_every=2000 --set use_tensorboard=false"
