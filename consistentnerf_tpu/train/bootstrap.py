@@ -77,11 +77,15 @@ def bootstrap_scene_priors(
     export_dir: Optional[str] = None,
     use_prefetch: bool = True,
 ) -> Tuple[object, object]:
-    """Run the warmup and return (scene_with_priors, warmup_result).
+    """Run the producer stage and return (scene_with_priors, stage_result).
 
-    When `export_dir` is set, the priors are also written in the
-    reference's on-disk layout (depth_%04d.pfm + mask JPGs) so they can
-    be reused by make_masks / external tooling.
+    The producer is selected by `cfg.bootstrap_mode`: "warmup" (stage-1
+    NeRF, depths rendered from it) or "mvs" (the in-framework plane-sweep
+    MVS network, `models/mvs.py` — the analog of the reference's external
+    pretrained-MVSNeRF notebook producer). `warmup_steps` is the step
+    budget of either producer. When `export_dir` is set, the priors are
+    also written in the reference's on-disk layout (depth_%04d.pfm +
+    mask JPGs) so they can be reused by make_masks / external tooling.
     """
     if scene.use_ndc:
         raise ValueError(
@@ -89,25 +93,42 @@ def bootstrap_scene_priors(
             "LLFF) scenes are not supported — train with spherify or "
             "provide external priors"
         )
-    from consistentnerf_tpu.train import loop as loop_lib
+    mode = getattr(cfg, "bootstrap_mode", "warmup")
+    if mode == "mvs":
+        from consistentnerf_tpu.train import mvs as mvs_train
 
-    warm_cfg = warmup_config(cfg, warmup_steps)
-    # The warmup trains on a prior-free copy (unit masks, zero depths).
-    shape = scene.images.shape[:3]
-    warm_scene = dataclasses.replace(
-        scene,
-        depths=np.zeros(shape, np.float32),
-        masks=np.ones(shape, np.float32),
-    )
-    log_fn(f"bootstrap: warmup training {warmup_steps} steps "
-           f"({warm_cfg.expname})")
-    result = loop_lib.train(
-        warm_cfg, warm_scene, num_steps=warmup_steps, log_fn=log_fn,
-        use_prefetch=use_prefetch,
-    )
+        # The MVS producer must not peek at priors that may already ride
+        # on the scene — only GT-quality depth supervises (the loaders
+        # put MVS priors in `depths`; a scene with real GT depth — DTU,
+        # synthetic — supervises, anything else self-supervises).
+        result = mvs_train.train_mvs_depth(
+            cfg, scene, num_steps=warmup_steps, log_fn=log_fn
+        )
+        depths = mvs_train.predict_depth_priors(cfg, scene, result.params)
+    elif mode == "warmup":
+        from consistentnerf_tpu.train import loop as loop_lib
 
-    params = jax.device_get(result.state).params
-    depths = render_warmup_depths(warm_cfg, scene, params)
+        warm_cfg = warmup_config(cfg, warmup_steps)
+        # The warmup trains on a prior-free copy (unit masks, zero depths).
+        shape = scene.images.shape[:3]
+        warm_scene = dataclasses.replace(
+            scene,
+            depths=np.zeros(shape, np.float32),
+            masks=np.ones(shape, np.float32),
+        )
+        log_fn(f"bootstrap: warmup training {warmup_steps} steps "
+               f"({warm_cfg.expname})")
+        result = loop_lib.train(
+            warm_cfg, warm_scene, num_steps=warmup_steps, log_fn=log_fn,
+            use_prefetch=use_prefetch,
+        )
+
+        params = jax.device_get(result.state).params
+        depths = render_warmup_depths(warm_cfg, scene, params)
+    else:
+        raise ValueError(
+            f"Unknown bootstrap_mode {mode!r} (expected 'warmup' or 'mvs')"
+        )
 
     if getattr(cfg, "bootstrap_fuse_priors", True):
         # Cross-view occlusion-tested consensus (the reference's mask-
