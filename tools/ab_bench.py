@@ -219,6 +219,97 @@ def check_step_loss_mip(cfg, model, state, batch):
     return abs(float(st_v["loss"]) - float(st_x["loss"]))
 
 
+def run_trajectory_check(names, n_steps=40):
+    """Hardware-backward truth test: train the kernel step and the XLA
+    step for `n_steps` DETERMINISTIC steps from identical init/batch/key
+    and report the loss-trajectory gap + final param divergence.
+
+    Per-step loss equality at one state (check_step_loss) cannot catch a
+    miscompiled custom-VJP backward — the loss is computed by the
+    forward. Trajectories can: wrong gradients bend the optimization
+    path within a few steps. Names: traj_onepass, traj_fused,
+    traj_mip_onepass.
+    """
+    import jax
+    import numpy as np
+
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import MipBatcher, VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train import step as step_lib
+
+    results = {}
+    for name in names:
+        t0 = time.time()
+        mip = name.startswith("traj_mip")
+        if mip:
+            cfg_k = mip_cfg(use_fused_train=True, use_onepass_train=True,
+                            fused_tile=1024, randomized=False)
+            cfg_x = mip_cfg(randomized=False)
+        else:
+            kind = name.split("_", 1)[1]  # onepass | fused
+            cfg_k = flagship_cfg(
+                use_fused_train=True,
+                use_onepass_train=(kind == "onepass"),
+                fused_tile=1024,
+                perturb=0.0,
+            )
+            cfg_x = flagship_cfg(perturb=0.0)
+        scene = synthetic.make_scene(n_views=6, H=128, W=128
+                                     ).to_scene_data()
+        batcher = (MipBatcher if mip else VanillaBatcher)(scene, cfg_k)
+        batch = batcher.next_batch()
+        model = make_model(cfg_x)
+        state0 = loop_lib.init_state(cfg_x, model, batch)
+
+        def build(cfg):
+            if cfg.use_onepass_train:
+                from consistentnerf_tpu.ops import fused_onepass
+
+                b = (fused_onepass.build_onepass_mip_train_step if mip
+                     else fused_onepass.build_onepass_vanilla_train_step)
+                return b(cfg, donate=False)
+            if cfg.use_fused_train:
+                from consistentnerf_tpu.ops.fused_train import (
+                    build_fused_vanilla_train_step,
+                )
+
+                return build_fused_vanilla_train_step(cfg, donate=False)
+            return step_lib.build_train_step(model, cfg, donate=False)
+
+        key = jax.random.PRNGKey(7)
+
+        def run(ts):
+            st, losses = state0, []
+            for _ in range(n_steps):
+                st, stats = ts(st, batch, key)
+                losses.append(float(stats["loss"]))  # hard sync per step
+            return st, losses
+
+        st_k, loss_k = run(build(cfg_k))
+        st_x, loss_x = run(build(cfg_x))
+        gaps = [abs(a - b) for a, b in zip(loss_k, loss_x)]
+        leaves_k = jax.tree_util.tree_leaves(st_k.params)
+        leaves_x = jax.tree_util.tree_leaves(st_x.params)
+        pdiff = max(
+            float(np.max(np.abs(np.asarray(a, np.float32)
+                                - np.asarray(b, np.float32))))
+            for a, b in zip(leaves_k, leaves_x)
+        )
+        results[name] = dict(
+            loss_gap_step0=round(gaps[0], 6),
+            loss_gap_mid=round(gaps[n_steps // 2], 6),
+            loss_gap_final=round(gaps[-1], 6),
+            final_loss_kernel=round(loss_k[-1], 5),
+            final_loss_xla=round(loss_x[-1], 5),
+            param_maxdiff=round(pdiff, 6),
+            total_wall_s=round(time.time() - t0, 1),
+        )
+        print(name, json.dumps(results[name]), flush=True)
+    return results
+
+
 def check_forward(name, cfg, model, state, batch):
     """Max |rgb err| of this variant's COARSE forward vs the XLA forward.
 
@@ -1020,12 +1111,15 @@ def main():
     mip_names = [a for a in args if a.startswith("mip_")]
     train_names = [a for a in args
                    if not a.startswith(("render", "k_", "c_", "fwd_",
-                                        "mip_"))]
+                                        "mip_", "traj_"))]
+    traj_names = [a for a in args if a.startswith("traj_")]
     render_names = [a for a in args if a.startswith("render")]
     fwd_names = [a for a in args if a.startswith("fwd_")]
     kernel_names = [a for a in args
                     if a.startswith("k_") and a != "k_matmul"]
     out = {}
+    if traj_names:
+        out.update(run_trajectory_check(traj_names))
     if train_names:
         out.update(run_train_variants(train_names))
     if mip_names:
