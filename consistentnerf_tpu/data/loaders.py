@@ -9,6 +9,7 @@ with a disk cache of the generated masks.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -189,10 +190,16 @@ def attach_masks(scene: SceneData, cfg, cache_dir=None) -> SceneData:
         cache = None
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
+            # Key on the actual train split and scene shape: reusing an
+            # expdir after a split/scene change must regenerate masks, not
+            # silently load stale ones (this voided a round-4 POL run).
+            ident = "-".join(map(str, scene.i_train)) + ":" + "x".join(
+                map(str, scene.images.shape[:3]))
+            tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
             cache = os.path.join(
                 cache_dir,
                 f"hardmask_{cfg.train_view_num}view_"
-                f"{cfg.occlusion_threshold}.npy",
+                f"{cfg.occlusion_threshold}_{tag}.npy",
             )
         if cache and os.path.isfile(cache):
             scene.masks = np.load(cache).astype(np.float32)
@@ -256,8 +263,14 @@ def load_scene(cfg, attach=True) -> SceneData:
     elif cfg.dataset_type == "synthetic":
         from consistentnerf_tpu.data import synthetic
 
-        scene = synthetic.make_scene().to_scene_data(
-            interleave_test=getattr(cfg, "synthetic_interleave_test", True)
+        scene = synthetic.make_scene(
+            n_views=getattr(cfg, "synthetic_views", 8),
+            H=getattr(cfg, "synthetic_hw", 64),
+            W=getattr(cfg, "synthetic_hw", 64),
+            texture_freq=getattr(cfg, "synthetic_texture_freq", 0.0),
+        ).to_scene_data(
+            n_test=getattr(cfg, "synthetic_n_test", 2),
+            interleave_test=getattr(cfg, "synthetic_interleave_test", True),
         )
     else:
         raise ValueError(f"Unknown dataset type {cfg.dataset_type!r}")

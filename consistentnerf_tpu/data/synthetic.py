@@ -85,9 +85,18 @@ def _sphere_trace(rays_o, rays_d, radius=1.0):
     return t_param, hit, normal
 
 
-def _shade(normal, hit, background=1.0):
-    """Color from the surface normal (distinct, smooth, view-consistent)."""
+def _shade(normal, hit, background=1.0, pts=None, texture_freq=0.0):
+    """Color from the surface normal (distinct, smooth, view-consistent).
+
+    With texture_freq > 0, modulate albedo by a procedural pattern of the
+    3D hit point — high-frequency, multi-view-consistent content that makes
+    novel-view PSNR a meaningful test for high-capacity models.
+    """
     rgb = 0.5 * (normal + 1.0)
+    if texture_freq > 0.0 and pts is not None:
+        f = float(texture_freq)
+        tex = 0.5 + 0.5 * np.sin(f * pts + 2.3 * np.sin(1.7 * f * pts[..., ::-1]))
+        rgb = rgb * (0.35 + 0.65 * tex)
     light = np.clip(normal @ np.array([0.48, 0.6, 0.64]), 0.1, 1.0)
     rgb = rgb * light[..., None]
     return np.where(hit[..., None], rgb, background)
@@ -102,6 +111,7 @@ def make_scene(
     sphere_radius: float = 1.0,
     white_background: bool = True,
     seed: int = 0,
+    texture_freq: float = 0.0,
 ) -> SyntheticScene:
     focal = focal or 1.2 * W
     K = np.array(
@@ -125,7 +135,10 @@ def make_scene(
         rays_d = dirs_cam @ c2w[:3, :3].T
         rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
         t, hit, normal = _sphere_trace(rays_o, rays_d, sphere_radius)
-        img = _shade(normal, hit, 1.0 if white_background else 0.0)
+        d_unit = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        pts = rays_o + (t * np.linalg.norm(rays_d, axis=-1))[..., None] * d_unit
+        img = _shade(normal, hit, 1.0 if white_background else 0.0,
+                     pts=pts, texture_freq=texture_freq)
         images.append(img.astype(np.float32))
         depths.append(t.astype(np.float32))
         poses.append(c2w.astype(np.float32))

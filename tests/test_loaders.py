@@ -302,6 +302,86 @@ def test_load_scene_dispatch_synthetic():
     assert not set(scene.i_test) & set(scene.i_train)
 
 
+def test_synthetic_scene_size_knobs():
+    """Scene size/texture must be config-selectable: the proof-of-life
+    scene has to scale with model capacity (RUNS_r4.md queue E)."""
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data.loaders import load_scene
+
+    cfg = Config(dataset_type="synthetic", synthetic_views=16,
+                 synthetic_hw=32, synthetic_n_test=4,
+                 synthetic_texture_freq=6.0)
+    scene = load_scene(cfg, attach=False)
+    assert scene.images.shape == (16, 32, 32, 3)
+    assert len(scene.i_test) == 4 and len(scene.i_train) == 12
+    # Interleaved: every held-out view has trained angular neighbors.
+    assert list(scene.i_test) == [3, 7, 11, 15]
+    assert scene.images.min() >= 0.0 and scene.images.max() <= 1.0
+
+    plain = load_scene(
+        Config(dataset_type="synthetic", synthetic_views=16,
+               synthetic_hw=32, synthetic_n_test=4), attach=False)
+    # Texture changes foreground appearance but not geometry.
+    assert not np.allclose(scene.images, plain.images)
+    assert np.allclose(scene.depths, plain.depths)
+
+
+def test_hardmask_cache_keyed_on_split(tmp_path):
+    """Reusing an expdir after a split change must regenerate the hard
+    masks — a stale cache voided a round-4 POL run (RUNS_r4.md §5)."""
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data.loaders import attach_masks, load_scene
+
+    cache = str(tmp_path / "mask_cache")
+    cfg_a = Config(dataset_type="synthetic", hardmask=True,
+                   synthetic_interleave_test=True)
+    cfg_b = Config(dataset_type="synthetic", hardmask=True,
+                   synthetic_interleave_test=False)
+    sa = attach_masks(load_scene(cfg_a, attach=False), cfg_a, cache)
+    sb = attach_masks(load_scene(cfg_b, attach=False), cfg_b, cache)
+    assert not np.allclose(sa.masks, sb.masks)
+    import glob
+    assert len(glob.glob(os.path.join(cache, "hardmask_*.npy"))) == 2
+
+
+def test_synthetic_texture_is_multiview_consistent():
+    """The procedural texture is a function of the 3D hit point, so
+    reprojecting view A's colored surface points into view B must land on
+    matching colors (same oracle the hard-mask subsystem relies on)."""
+    from consistentnerf_tpu.data import synthetic
+
+    sc = synthetic.make_scene(n_views=8, H=48, W=48, texture_freq=6.0)
+    a, b = 0, 1
+    K, H, W = sc.K, sc.H, sc.W
+    ys, xs = np.nonzero(sc.masks[a])
+    dirs = np.stack([(xs + 0.5 - K[0, 2]) / K[0, 0],
+                     -(ys + 0.5 - K[1, 2]) / K[1, 1],
+                     -np.ones_like(xs, np.float64)], -1)
+    # Pixel-center rays: re-trace exactly (depths were made at corners).
+    c2w = sc.poses[a]
+    rd = dirs @ c2w[:3, :3].T
+    ro = np.broadcast_to(c2w[:3, 3], rd.shape)
+    t, hit, _ = synthetic._sphere_trace(ro, rd)
+    pts = ro + t[..., None] * rd
+    w2c = np.linalg.inv(np.vstack([sc.poses[b], [0, 0, 0, 1]]))
+    pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    u = K[0, 0] * (pc[:, 0] / -pc[:, 2]) + K[0, 2]
+    v = K[1, 1] * (-pc[:, 1] / -pc[:, 2]) + K[1, 2]
+    ui, vi = np.round(u - 0.5).astype(int), np.round(v - 0.5).astype(int)
+    ok = (hit & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H))
+    ok[ok] &= sc.masks[b][vi[ok], ui[ok]]
+    # Front-facing in BOTH views (z-buffer test against B's own depth).
+    cb = np.vstack([sc.poses[b], [0, 0, 0, 1]])
+    depth_in_b = -pc[:, 2]
+    ok[ok] &= np.abs(depth_in_b[ok] - sc.depths[b][vi[ok], ui[ok]]) < 0.02
+    assert ok.sum() > 100
+    ca = sc.images[a][ys[ok], xs[ok]]
+    cb_img = sc.images[b][vi[ok], ui[ok]]
+    # Shading is normal-based and the texture is 3D-anchored: colors match
+    # up to resampling error.
+    assert np.median(np.abs(ca - cb_img)) < 0.08
+
+
 def _write_llff_orbit_fixture(root, n=16, h=32, w=40):
     """An LLFF scene whose cameras orbit the origin looking inward —
     the 360-capture regime spherify targets."""
