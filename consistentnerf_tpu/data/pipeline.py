@@ -93,6 +93,8 @@ class VanillaBatcher:
         grid = np.stack(
             np.meshgrid(np.arange(ps), np.arange(ps), indexing="xy"), -1
         ).reshape(-1, 2)
+        if cfg.n_patches <= 0:  # patch terms disabled (ablation configs)
+            return np.zeros((0, 2), np.int64)
         out = []
         num = 0
         attempts = 0

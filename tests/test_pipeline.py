@@ -35,6 +35,16 @@ def test_vanilla_batcher_layout(scene):
     assert np.allclose(batch["origins"][0], batch["origins"][63])
 
 
+def test_vanilla_batcher_no_patches(scene):
+    """n_patches=0 (patch-term ablations) must batch plain rays, not crash
+    (regression: queue F leg polf_3nopatch, RUNS_r4.md)."""
+    cfg = Config(N_rand=64, n_patches=0)
+    b = VanillaBatcher(scene, cfg)
+    batch = b.next_batch()
+    assert batch["rgb"].shape == (64, 3)
+    assert batch["origins"].shape == (64, 3)
+
+
 def test_vanilla_patch_white_rejection():
     """Patches in a mostly-empty (white) scene still resolve via retry cap."""
     scene = synthetic.make_scene(n_views=3, H=32, W=32).to_scene_data()
