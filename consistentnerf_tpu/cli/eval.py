@@ -32,7 +32,7 @@ def main(argv=None):
     batcher = loop_lib.make_batcher(scene, cfg)
     state = loop_lib.init_state(cfg, model, batcher.next_batch())
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
-    state = ckpt.restore(state, step=args.step)
+    state = ckpt.restore_for_eval(state, step=args.step)
     step = int(state.step)
     if step == 0:
         print("warning: no checkpoint found; evaluating random init")

@@ -43,7 +43,7 @@ def main(argv=None):
     ckpt = CheckpointManager(
         os.path.join(cfg.basedir, cfg.expname, "checkpoints")
     )
-    state = ckpt.restore(state, step=args.step)
+    state = ckpt.restore_for_eval(state, step=args.step)
 
     os.makedirs(args.out, exist_ok=True)
     render = render_lib.build_render_fn(model, cfg, state.params)

@@ -134,7 +134,7 @@ def main(argv=None):
             f"no checkpoint found under {exp_dir}/checkpoints — refusing "
             "to export random-init weights"
         )
-    state = mgr.restore(state, step=args.step)
+    state = mgr.restore_for_eval(state, step=args.step)
     step = int(state.step)
 
     export_checkpoint(

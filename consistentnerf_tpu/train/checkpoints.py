@@ -41,6 +41,33 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state)
         )
 
+    def restore_for_eval(self, state: TrainState,
+                         step: Optional[int] = None) -> TrainState:
+        """Restore params/step only, tolerating opt_state mismatch.
+
+        Read-only consumers (eval/render/export) need the trained params,
+        not the optimizer state — requiring the eval invocation to repeat
+        the exact optimizer hyperparameters (grad clips, schedules) just
+        to make the opt_state PYTREE match the checkpoint is a footgun.
+        Falls back to a params+step partial restore when the strict
+        restore fails on structure.
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return state
+        try:
+            return self.mgr.restore(
+                step, args=ocp.args.StandardRestore(state)
+            )
+        except (ValueError, TypeError):
+            # Template-free raw read: returns the saved tree as plain
+            # arrays regardless of the live optimizer structure.
+            raw = self.mgr.restore(step)
+            return state.replace(
+                params=jax.tree_util.tree_map(np.asarray, raw["params"]),
+                step=np.asarray(raw["step"]),
+            )
+
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 
