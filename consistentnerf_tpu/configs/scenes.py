@@ -177,6 +177,36 @@ def _build_registry() -> Dict[str, Config]:
                 anneal_nearfar_perc=0.0001,
                 anneal_mid_perc=1.0,
             )
+
+    # Dataset-free proof-of-life presets (no real datasets ship in every
+    # environment): the capacity-matched procedural scene the round-4
+    # hardware runs used (RUNS_r4.md §5). `synthetic_pol` is the flagship
+    # vanilla recipe; `synthetic_pol_mip` the regnerf3-style mip recipe.
+    reg["synthetic_pol"] = _vanilla_base(
+        expname="synthetic_pol",
+        dataset_type="synthetic",
+        synthetic_views=16,
+        synthetic_hw=128,
+        synthetic_n_test=4,
+        synthetic_interleave_test=True,
+        white_bkgd=True,
+        compute_dtype="bfloat16",
+        total_iters=8000,
+    )
+    reg["synthetic_pol_mip"] = _mip_base(
+        "regnerf3",
+        expname="synthetic_pol_mip",
+        dataset_type="synthetic",
+        synthetic_views=16,
+        synthetic_hw=128,
+        synthetic_n_test=4,
+        synthetic_interleave_test=True,
+        white_bkgd=True,
+        disable_normals=True,
+        N_rand=3072,
+        compute_dtype="bfloat16",
+        total_iters=3000,
+    )
     return reg
 
 

@@ -47,11 +47,13 @@ def test_config_file_unknown_field_rejected(tmp_path):
 
 def test_preset_registry_size_and_grid():
     names = scenes.list_scenes()
-    # (8 blender + 8 llff + 13 dtu) scenes x 3 view-counts, x 2 mip variants
-    assert len(names) == 29 * 3 + 29 * 2
+    # (8 blender + 8 llff + 13 dtu) scenes x 3 view-counts, x 2 mip
+    # variants, + 2 dataset-free proof-of-life presets
+    assert len(names) == 29 * 3 + 29 * 2 + 2
     assert "lego_3view" in names
     assert "regnerf3_llff_fern" in names
     assert "mipnerf3_dtu_scan114" in names
+    assert "synthetic_pol" in names and "synthetic_pol_mip" in names
 
 
 def test_vanilla_preset_reference_hparams():
