@@ -247,6 +247,7 @@ class MipBatcher:
         dx = np.concatenate([dx, dx[:, :, -2:-1]], 2)
         self.radii = (dx * 2 / np.sqrt(12))[..., None].astype(np.float32)
         self.random_poses = random_poses
+        self._pixdirs_np = None  # lazy [H, W, 3] camera-frame dir cache
 
     def _rays_at(self, img_i, r, c) -> Rays:
         s = self.scene
@@ -263,24 +264,33 @@ class MipBatcher:
         )
 
     def _random_pose_patch_rays(self) -> Rays:
-        """Patch rays from random poses (datasets.py:672-680 semantics)."""
+        """Patch rays from random poses (datasets.py:672-680 semantics).
+
+        Pure-numpy and window-local: only the ps*ps patch pixels get ray
+        math (the first version built full [H, W] jnp ray images per patch
+        — 256x wasted work + a device dispatch per patch, which made the
+        host batcher the mip trainer's bottleneck at 128px scenes).
+        """
         cfg = self.cfg
         s = self.scene
         ps = cfg.random_patch_size
         n_patches = max(1, cfg.batch_size_random // (ps * ps))
+        if self._pixdirs_np is None:
+            self._pixdirs_np = np.asarray(
+                rays_core.pixel_dirs(s.H, s.W, s.K), np.float32
+            )
         origins, dirs, view, radii = [], [], [], []
         for _ in range(n_patches):
-            pose = self.random_poses[
+            pose = np.asarray(self.random_poses[
                 self.rng.randint(0, self.random_poses.shape[0])
-            ]
-            o, d = rays_core.get_rays(s.H, s.W, s.K, pose[:3, :4])
-            o, d = np.asarray(o), np.asarray(d)
+            ])[:3, :4]
             r0 = self.rng.randint(0, s.H - ps + 1)
             c0 = self.rng.randint(0, s.W - ps + 1)
-            op = o[r0 : r0 + ps, c0 : c0 + ps].reshape(-1, 3)
-            dp = d[r0 : r0 + ps, c0 : c0 + ps].reshape(-1, 3)
-            origins.append(op)
-            dirs.append(dp)
+            dc = self._pixdirs_np[r0 : r0 + ps, c0 : c0 + ps].reshape(-1, 3)
+            dp = dc @ pose[:3, :3].T
+            op = np.broadcast_to(pose[:3, 3], dp.shape)
+            origins.append(op.astype(np.float32))
+            dirs.append(dp.astype(np.float32))
             view.append(dp / np.linalg.norm(dp, axis=-1, keepdims=True))
             radii.append(
                 np.full((ps * ps, 1), 1.0 / s.focal * 2 / np.sqrt(12),

@@ -437,16 +437,32 @@ def run_mip_variants(names):
     results = {}
     for name in names:
         t_start = time.time()
-        if name == "mip_xla":
-            cfg = mip_cfg()
-        elif name.startswith("mip_onepass"):
+        # `_tvnorm` (position-independent suffix on any mip variant):
+        # the full regnerf3 regularizer set — TV-norm random-pose patch
+        # rays + decayed weight + near/far annealing (the round-4 mip
+        # POL recipe, RUNS_r4.md).
+        tvnorm_kw = {}
+        if "_tvnorm" in name:
+            name_spec = name.replace("_tvnorm", "")
+            tvnorm_kw = dict(
+                depth_tvnorm_loss_mult=0.1, depth_tvnorm_decay=True,
+                depth_tvnorm_maxstep=512,
+                depth_tvnorm_loss_mult_start=400.0,
+                depth_tvnorm_loss_mult_end=0.1, anneal_nearfar=True,
+                load_random_rays=True,
+            )
+        else:
+            name_spec = name
+        if name_spec == "mip_xla":
+            cfg = mip_cfg(**tvnorm_kw)
+        elif name_spec.startswith("mip_onepass"):
             # mip_onepass[_big][_t<tile>][_nopdfk][_dnoise]: one-pass mip
             # megakernel step; `big` = 4x-ray batch-scaling probe;
             # `nopdfk` = XLA resampler instead of the fused pdf kernel;
             # `dnoise` = density_noise=1 (the paper's mipnerf3/regnerf3
             # presets) exercising the per-point logit-noise kernel row.
-            spec = name
-            kw = {}
+            spec = name_spec
+            kw = dict(tvnorm_kw)
             if "_nopdfk" in spec:  # position-independent suffix
                 spec = spec.replace("_nopdfk", "")
                 kw["use_pdf_kernel"] = False
@@ -458,13 +474,26 @@ def run_mip_variants(names):
                 kw["N_rand"] = 16384 - 4 * 256
             cfg = mip_cfg(use_fused_train=True, use_onepass_train=True,
                           fused_tile=tile, **kw)
-        elif name.startswith("mip_fused"):
-            tile = int(name.split("_t")[-1]) if "_t" in name else 1024
-            cfg = mip_cfg(use_fused_train=True, fused_tile=tile)
+        elif name_spec.startswith("mip_fused"):
+            tile = int(name_spec.split("_t")[-1]) if "_t" in name_spec \
+                else 1024
+            cfg = mip_cfg(use_fused_train=True, fused_tile=tile,
+                          **tvnorm_kw)
         else:
             raise ValueError(name)
         model = make_model(cfg)
-        batcher = MipBatcher(scene, cfg)
+        random_poses = None
+        if cfg.load_random_rays:
+            from consistentnerf_tpu.data.random_poses import (
+                generate_random_poses,
+            )
+
+            random_poses = generate_random_poses(
+                scene.poses[scene.i_train], n_poses=cfg.n_random_poses,
+                pose_type=cfg.random_pose_type,
+                radius=cfg.random_pose_radius,
+            )
+        batcher = MipBatcher(scene, cfg, random_poses=random_poses)
         batch = batcher.next_batch()
         n_rays = batch["rgb"].shape[0]
         state = loop_lib.init_state(cfg, model, batch)
