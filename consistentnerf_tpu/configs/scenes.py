@@ -193,6 +193,11 @@ def _build_registry() -> Dict[str, Config]:
         compute_dtype="bfloat16",
         total_iters=8000,
     )
+    # total_iters MUST equal the intended run length: lr decay and
+    # resample-padding schedules stretch over it (a 3k-step run against
+    # the 50k default keeps lr at lr_init throughout and diverges —
+    # measured, RUNS_r4.md §9). Anneal params follow the regnerf3/nerf
+    # grid files (256 steps, perc 1e-4, mid 1.0).
     reg["synthetic_pol_mip"] = _mip_base(
         "regnerf3",
         expname="synthetic_pol_mip",
@@ -206,6 +211,9 @@ def _build_registry() -> Dict[str, Config]:
         N_rand=3072,
         compute_dtype="bfloat16",
         total_iters=3000,
+        anneal_nearfar_steps=256,
+        anneal_nearfar_perc=0.0001,
+        anneal_mid_perc=1.0,
     )
     return reg
 
