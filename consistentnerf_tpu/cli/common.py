@@ -45,14 +45,95 @@ def resolve_config(args) -> Config:
         cfg = parse_overrides(cfg, args.overrides)
     else:
         cfg = load_config(args.config, args.overrides)
+    # Every CLI resolves its config first, so this is the common
+    # chokepoint: persist compiled programs across processes (TPU
+    # compiles go through a remote tunnel here, 4-15 min for the big
+    # train programs; the cache turns repeat runs/evals into seconds).
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     # Multi-host runs must initialize the distributed runtime before the
-    # first backend use; every CLI resolves its config first, so this is
-    # the common chokepoint.
+    # first backend use.
     from consistentnerf_tpu.parallel import mesh as mesh_lib
 
     mesh_lib.maybe_initialize_distributed(
         cfg.coordinator_address, cfg.num_processes, cfg.process_id
     )
+    return cfg
+
+
+def explicit_keys(args) -> set:
+    """Config keys the user explicitly set via --set or a config file.
+
+    Scene presets are recipe *defaults*, not user intent, so they are
+    deliberately not included: a preset value can be reconciled, an
+    explicit flag is always honored.
+    """
+    explicit = {o.split("=")[0].strip() for o in getattr(args, "overrides", [])}
+    if getattr(args, "config", None):
+        from consistentnerf_tpu.configs import config_file_keys
+
+        explicit |= config_file_keys(args.config)
+    return explicit
+
+
+def reconcile_schedule_horizon(cfg: Config, args) -> Config:
+    """Keep `--num-steps` and the schedule horizon `total_iters` coherent.
+
+    The reference never had this trap: RegNeRF's lr decay is defined over
+    `max_steps` and its loop length IS max_steps
+    (RegNeRF/internal/math.py:134-166, train.py:67-294). Here the loop
+    length (`--num-steps`) and the schedule horizon (`total_iters`) are
+    separate knobs, and running 3k steps against the 50k default horizon
+    leaves lr pinned at lr_init and the near/far anneal squeezing
+    sampling to mid-depth for most of training — a measured hardware
+    divergence (RUNS_r4.md §10, queue J: final PSNR 7.78).
+
+    Policy:
+    - `--num-steps N` with `total_iters` NOT explicitly set (--set /
+      config file): the horizon follows N. `anneal_nearfar_steps` and
+      `lr_delay_steps`, when also non-explicit, rescale proportionally
+      so the recipe keeps its shape.
+    - both explicit and N < 0.2 * total_iters with schedules active:
+      loud warning (the user may be resuming a longer run, so we do not
+      override an explicit horizon).
+    """
+    num_steps = getattr(args, "num_steps", None)
+    if not num_steps or num_steps == cfg.total_iters:
+        return cfg
+    explicit = explicit_keys(args)
+    import warnings
+
+    if "total_iters" not in explicit:
+        old = cfg.total_iters
+        updates = {"total_iters": int(num_steps)}
+        for key in ("anneal_nearfar_steps", "lr_delay_steps"):
+            if key not in explicit:
+                val = getattr(cfg, key)
+                if 0 < val:
+                    updates[key] = max(1, round(val * num_steps / old))
+        print(
+            f"[schedule] --num-steps={num_steps} != total_iters={old}; "
+            f"rescaling schedule horizon: "
+            + ", ".join(f"{k}={v}" for k, v in updates.items())
+            + " (pass --set total_iters=... to pin the horizon explicitly)"
+        )
+        return cfg.replace(**updates)
+    schedules_active = (cfg.lr_final != cfg.lr_init) or cfg.anneal_nearfar
+    if schedules_active and num_steps < 0.2 * cfg.total_iters:
+        warnings.warn(
+            f"--num-steps={num_steps} is <20% of the explicit schedule "
+            f"horizon total_iters={cfg.total_iters}: lr will only decay "
+            f"{cfg.lr_init:g}->~{cfg.lr_init * (cfg.lr_final / cfg.lr_init) ** (num_steps / cfg.total_iters):.2g} "
+            f"and anneal_nearfar={cfg.anneal_nearfar} runs on the long "
+            f"horizon. This configuration diverged on hardware "
+            f"(RUNS_r4.md queue J). Intended only when resuming a "
+            f"longer run.",
+            stacklevel=2,
+        )
     return cfg
 
 

@@ -145,3 +145,58 @@ def test_onepass_follows_explicit_fused_train(monkeypatch):
         Config(), _Args(["use_fused_train=false"])
     )
     assert not off.use_onepass_train
+
+
+class _StepArgs(_Args):
+    def __init__(self, num_steps=None, overrides=()):
+        super().__init__(overrides)
+        self.num_steps = num_steps
+
+
+def test_schedule_horizon_adapts_to_num_steps():
+    """Queue-J regression (RUNS_r4.md §10): `--num-steps 3000` against the
+    50k default total_iters left lr pinned at lr_init=2e-3 and diverged on
+    hardware. When total_iters is not explicit, the horizon must follow
+    --num-steps and the step-denominated schedule knobs rescale."""
+    cfg = Config(backbone="mipnerf", anneal_nearfar=True)
+    out = common.reconcile_schedule_horizon(cfg, _StepArgs(3000))
+    assert out.total_iters == 3000
+    # anneal 2000/50000 and lr_delay 512/50000 keep their proportions.
+    assert out.anneal_nearfar_steps == 120
+    assert out.lr_delay_steps == 31
+    # The lr actually decays across the run now.
+    from consistentnerf_tpu.train.state import make_lr_schedule
+
+    sched = make_lr_schedule(out)
+    assert float(sched(2999)) < 0.02 * float(sched(out.lr_delay_steps + 1))
+
+
+def test_schedule_horizon_explicit_total_iters_warns():
+    import warnings
+
+    cfg = Config(backbone="mipnerf", total_iters=50000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = common.reconcile_schedule_horizon(
+            cfg, _StepArgs(3000, ["total_iters=50000"])
+        )
+    assert out.total_iters == 50000  # explicit horizon is honored
+    assert any("diverged on hardware" in str(x.message) for x in w)
+
+
+def test_schedule_horizon_noop_when_matching():
+    cfg = Config(total_iters=8000)
+    out = common.reconcile_schedule_horizon(cfg, _StepArgs(8000))
+    assert out is cfg
+    out = common.reconcile_schedule_horizon(cfg, _StepArgs(None))
+    assert out is cfg
+
+
+def test_schedule_horizon_respects_explicit_anneal():
+    cfg = Config(backbone="mipnerf", anneal_nearfar=True,
+                 anneal_nearfar_steps=256)
+    out = common.reconcile_schedule_horizon(
+        cfg, _StepArgs(3000, ["anneal_nearfar_steps=256"])
+    )
+    assert out.total_iters == 3000
+    assert out.anneal_nearfar_steps == 256
