@@ -257,8 +257,10 @@ def _loss_guard(build_kernel_step, build_xla_step, state, batch):
     BENCH_r*.json as a value instead of a silent fallback. Run at the
     post-timing (trained) state: at random init the fine-level resampling
     amplifies rounding into bin flips and the diff measures sampling
-    noise, not bugs. Returns None when the active tier has no kernel to
-    guard (XLA fallback) or the check itself fails."""
+    noise, not bugs. Returns None only when the active tier has no
+    kernel to guard (XLA fallback); a guard that CRASHES returns the
+    explicit marker "guard_failed" so the JSON line distinguishes
+    'not applicable' from 'the check itself broke' (ADVICE r4)."""
     import jax
 
     try:
@@ -273,7 +275,7 @@ def _loss_guard(build_kernel_step, build_xla_step, state, batch):
         print("# loss guard failed: "
               f"{traceback.format_exc(limit=3)}".replace("\n", " "),
               file=sys.stderr, flush=True)
-        return None
+        return "guard_failed"
 
 
 def _loss_guard_vanilla(cfg, model, state, batch):

@@ -204,6 +204,61 @@ def auto_fused_defaults(cfg: Config, args) -> Config:
     return cfg.replace(**updates) if updates else cfg
 
 
+def guard_known_compiler_ice(cfg: Config, args=None) -> Config:
+    """Reroute a config class that crashes this libtpu build's compiler.
+
+    The pure-XLA vanilla train step at N_samples=32, N_importance=64
+    trips a register-allocation RET_CHECK inside libtpu AOT compilation
+    (live_range_finder.cc:29, jellyfish regalloc — RUNS_r4.md F4). That
+    is a toolchain bug, not a semantics limit: the fused/one-pass Pallas
+    steps compile and train at exactly those shapes. A legal user config
+    must not dump a raw compiler crash, so on TPU backends:
+
+    - if the fused step can express the config: reroute to it with a
+      logged notice (set CNERF_ALLOW_ICE_SHAPES=1 to skip the guard,
+      e.g. on a libtpu build where the bug is fixed);
+    - otherwise: fail with an actionable message naming the bug.
+    """
+    import jax
+
+    if os.environ.get("CNERF_ALLOW_ICE_SHAPES"):
+        return cfg
+    if cfg.backbone != "vanilla" or cfg.use_fused_train:
+        return cfg
+    if not (cfg.N_samples == 32 and cfg.N_importance == 64):
+        return cfg
+    if all(d.platform == "cpu" for d in jax.devices()):
+        return cfg
+    fusible = (
+        cfg.use_viewdirs
+        and 3 * cfg.multires <= 60
+        and 3 * cfg.multires_views <= 60
+    )
+    if fusible:
+        print(
+            "[compiler-guard] the pure-XLA vanilla train step at "
+            "N_samples=32, N_importance=64 crashes this libtpu build "
+            "(live_range_finder.cc RET_CHECK, RUNS_r4.md F4); rerouting "
+            "to the fused train step, which compiles at these shapes. "
+            "Set CNERF_ALLOW_ICE_SHAPES=1 to attempt the XLA path anyway."
+        )
+        updates = {"use_fused_train": True, "use_onepass_train": True}
+        if cfg.fused_tile <= 0:
+            updates["fused_tile"] = 1024
+        return cfg.replace(**updates)
+    raise RuntimeError(
+        "This config (vanilla backbone, N_samples=32, N_importance=64, "
+        "XLA train step) is known to crash the TPU compiler in this "
+        "libtpu build (live_range_finder.cc RET_CHECK — a toolchain "
+        "bug, see RUNS_r4.md F4), and the fused fallback cannot express "
+        f"it (use_viewdirs={cfg.use_viewdirs}, multires={cfg.multires}, "
+        f"multires_views={cfg.multires_views} exceed the kernel's "
+        "60-feature PE budget). Change N_samples/N_importance, reduce "
+        "multires to <=20, or set CNERF_ALLOW_ICE_SHAPES=1 to attempt "
+        "the compile anyway."
+    )
+
+
 def setup_experiment_dir(cfg: Config) -> str:
     """Create basedir/expname and dump the resolved config (the reference
     dumps args.txt + config.txt, run_nerf_view.py:977-989)."""

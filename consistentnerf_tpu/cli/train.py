@@ -28,6 +28,7 @@ def main(argv=None):
     cfg = common.resolve_config(args)
     cfg = common.auto_fused_defaults(cfg, args)
     cfg = common.reconcile_schedule_horizon(cfg, args)
+    cfg = common.guard_known_compiler_ice(cfg, args)
     exp_dir = common.setup_experiment_dir(cfg)
 
     from consistentnerf_tpu.data.loaders import load_scene

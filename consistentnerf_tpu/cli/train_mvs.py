@@ -40,11 +40,14 @@ def main(argv=None):
     priors = mvs_train.predict_depth_priors(cfg, scene, result.params)
 
     i_train = np.asarray(scene.i_train)
-    gt = np.asarray(scene.depths)[i_train]
-    if float(np.max(gt)) > 0:
-        valid = gt > 0
-        mse = float(np.mean((priors[i_train][valid] - gt[valid]) ** 2))
-        print(f"prior depth-MSE vs scene GT on train views: {mse:.5f}")
+    ref = np.asarray(scene.depths)[i_train]
+    if float(np.max(ref)) > 0:
+        valid = ref > 0
+        mse = float(np.mean((priors[i_train][valid] - ref[valid]) ** 2))
+        # Only call it GT when the scene's depths actually are (DTU
+        # scans / synthetic analytic); loaded PFM priors are estimates.
+        kind = "GT" if scene.depth_is_gt else "existing prior (NOT GT)"
+        print(f"prior depth-MSE vs scene {kind} on train views: {mse:.5f}")
 
     out = args.out or os.path.join(cfg.basedir, cfg.expname, "mvs_priors")
     os.makedirs(out, exist_ok=True)

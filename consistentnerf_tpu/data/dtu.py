@@ -282,6 +282,9 @@ def load_dtu(
         i_test=i_test,
         i_val=i_test,
         depths=prior_depths,
+        # cas depths are an upstream MVS *estimate*; only the
+        # structured-light scan depths count as ground truth.
+        depth_is_gt=not use_nerf_depth,
         masks=masks,
         mono_disp=mono_disp,
         render_poses=None,

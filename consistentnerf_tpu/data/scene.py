@@ -29,6 +29,12 @@ class SceneData:
     i_test: np.ndarray
     i_val: np.ndarray
     depths: Optional[np.ndarray] = None  # [N, H, W] MVS depth prior
+    # Provenance of `depths`: True only when they are measured/analytic
+    # ground truth (DTU structured-light scans, synthetic analytic
+    # depth), False for estimated priors (external MVSNeRF PFMs, warmup
+    # renders, the in-framework MVS net). Consumers that must not train
+    # on the priors they are meant to replace gate on this (train/mvs.py).
+    depth_is_gt: bool = False
     masks: Optional[np.ndarray] = None  # [N, H, W] hard masks
     mono_disp: Optional[np.ndarray] = None  # [N, H, W] MiDaS disparity
     render_poses: Optional[np.ndarray] = None  # [M, 3, 4] or [M, 4, 4]

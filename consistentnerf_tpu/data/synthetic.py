@@ -60,6 +60,7 @@ class SyntheticScene:
             i_test=i_test,
             i_val=i_test,
             depths=self.depths,
+            depth_is_gt=True,  # analytic ray-sphere depth
             masks=self.masks.astype(np.float32),
             mono_disp=self.mono_disp,
         )

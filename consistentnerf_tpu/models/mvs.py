@@ -54,35 +54,30 @@ def scale_K(K: jnp.ndarray, sx: float, sy: float | None = None
     Anisotropic so non-multiple-of-4 image sizes (LLFF 378x504 at
     factor 8) stay geometrically exact at the ceil-divided feature
     resolution of the stride-2 convs.
+
+    The principal point uses the pixel-center convention: pixel u in the
+    downsampled image is centered at continuous coordinate
+    (u + 0.5)/s - 0.5 of the source, so cx' = (cx + 0.5)*sx - 0.5 (the
+    raw cx*sx carries a systematic (1-sx)/2-px shift — ~0.375 px at the
+    1/4-res cost volume; ADVICE r4).
     """
     sy = sx if sy is None else sy
     K = jnp.asarray(K)
     return jnp.array(
         [
-            [K[0, 0] * sx, 0.0, K[0, 2] * sx],
-            [0.0, K[1, 1] * sy, K[1, 2] * sy],
+            [K[0, 0] * sx, 0.0, (K[0, 2] + 0.5) * sx - 0.5],
+            [0.0, K[1, 1] * sy, (K[1, 2] + 0.5) * sy - 0.5],
             [0.0, 0.0, 1.0],
         ],
         K.dtype,
     )
 
 
-def pixel_dirs(H: int, W: int, K: jnp.ndarray) -> jnp.ndarray:
-    """Camera-space ray directions through every pixel center, [H, W, 3].
-
-    Matches core/rays.py::get_rays' grid convention (x right, y up,
-    looking down -z); depth is parameterized along these UNNORMALIZED
-    directions, the same convention as the scene depth maps.
-    """
-    i, j = jnp.meshgrid(
-        jnp.arange(W, dtype=jnp.float32),
-        jnp.arange(H, dtype=jnp.float32),
-        indexing="xy",
-    )
-    return jnp.stack(
-        [(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1], -jnp.ones_like(i)],
-        -1,
-    )
+# One camera convention, one implementation: the cost-volume warp MUST
+# agree with core/rays.py::get_rays (x right, y up, looking down -z;
+# depth parameterized along the UNNORMALIZED directions) or depths stop
+# interoperating with the renderer — import rather than duplicate.
+from consistentnerf_tpu.core.rays import pixel_dirs  # noqa: E402,F401
 
 
 def project_to_pixels(points_w: jnp.ndarray, c2w_src: jnp.ndarray,

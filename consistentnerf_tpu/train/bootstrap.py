@@ -166,5 +166,8 @@ def bootstrap_scene_priors(
             )
         log_fn(f"bootstrap: exported priors to {export_dir}")
 
-    boot_scene = dataclasses.replace(scene, depths=depths, masks=masks)
+    boot_scene = dataclasses.replace(
+        scene, depths=depths, masks=masks,
+        depth_is_gt=False,  # produced priors, never ground truth
+    )
     return boot_scene, result

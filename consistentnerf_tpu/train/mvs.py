@@ -182,6 +182,7 @@ def train_mvs_depth(
     i_train = np.asarray(scene.i_train)
     has_gt = (
         cfg.mvs_supervise_gt
+        and getattr(scene, "depth_is_gt", False)
         and scene.depths is not None
         and float(np.max(np.asarray(scene.depths)[i_train])) > 0
     )

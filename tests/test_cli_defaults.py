@@ -200,3 +200,38 @@ def test_schedule_horizon_respects_explicit_anneal():
     )
     assert out.total_iters == 3000
     assert out.anneal_nearfar_steps == 256
+
+
+def test_ice_guard_reroutes_3264_xla(monkeypatch):
+    """RUNS_r4.md F4: the pure-XLA vanilla train step at 32c+64f crashes
+    the libtpu register allocator. On TPU the config layer must reroute
+    to the fused step (which compiles) instead of dumping a RET_CHECK."""
+    _on_accel(monkeypatch)
+    monkeypatch.delenv("CNERF_ALLOW_ICE_SHAPES", raising=False)
+    cfg = Config(N_samples=32, N_importance=64, use_fused_train=False)
+    out = common.guard_known_compiler_ice(cfg)
+    assert out.use_fused_train and out.use_onepass_train
+
+    # Other shapes are untouched.
+    ok = Config(N_samples=64, N_importance=128, use_fused_train=False)
+    assert common.guard_known_compiler_ice(ok) is ok
+
+
+def test_ice_guard_unfusible_errors_actionably(monkeypatch):
+    _on_accel(monkeypatch)
+    monkeypatch.delenv("CNERF_ALLOW_ICE_SHAPES", raising=False)
+    cfg = Config(N_samples=32, N_importance=64, multires=21)
+    with pytest.raises(RuntimeError, match="live_range_finder"):
+        common.guard_known_compiler_ice(cfg)
+
+
+def test_ice_guard_escape_hatch(monkeypatch):
+    _on_accel(monkeypatch)
+    monkeypatch.setenv("CNERF_ALLOW_ICE_SHAPES", "1")
+    cfg = Config(N_samples=32, N_importance=64)
+    assert common.guard_known_compiler_ice(cfg) is cfg
+
+
+def test_ice_guard_noop_on_cpu():
+    cfg = Config(N_samples=32, N_importance=64)
+    assert common.guard_known_compiler_ice(cfg) is cfg

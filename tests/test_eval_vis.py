@@ -221,3 +221,26 @@ def test_imported_torch_ckpt_renders():
     out = render_lib.render_image(model, cfg, params, rays)
     assert out["rgb"].shape == (16, 16, 3)
     assert np.all(np.isfinite(out["rgb"]))
+
+
+def test_evaluate_stacked_dispatch_matches_per_view(trained, tmp_path):
+    """evaluate() routes through the stacked [V, H, W] render dispatch
+    (eval_views_per_call > 1); metrics must be identical to the per-view
+    path — including on a ragged last group (3 test views, group of 2)."""
+    scene, cfg, model, state = trained
+    views = np.array([0, 2, 4])
+    per_view = evaluation.evaluate(
+        model, cfg.replace(eval_views_per_call=1), state.params, scene,
+        out_dir=str(tmp_path / "pv"), views=views,
+    )
+    stacked = evaluation.evaluate(
+        model, cfg.replace(eval_views_per_call=2), state.params, scene,
+        out_dir=str(tmp_path / "st"), views=views,
+    )
+    for k in per_view:
+        if k == "eval_rays_per_sec":
+            continue
+        np.testing.assert_allclose(stacked[k], per_view[k], atol=1e-5,
+                                   err_msg=k)
+    # The stacked path still writes the per-view artifacts.
+    assert os.path.isfile(str(tmp_path / "st" / "color_002.png"))

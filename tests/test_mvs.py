@@ -242,3 +242,65 @@ def test_train_mvs_cli(tmp_path):
         depth, _ = read_pfm(str(out / f"depth_{vid:04d}.pfm"))
         assert depth.shape == (scene.H, scene.W)
         assert (out / f"{vid}_mask_mvs.jpg").exists()
+
+
+def test_scale_k_pixel_center_exact_at_non_multiple_of_4():
+    """scale_K must use the pixel-center convention (ADVICE r4): a point
+    at full-res continuous pixel x lands at (x+0.5)*s-0.5 in the
+    downsampled grid. Checked at a non-multiple-of-4 size where the
+    raw cx*s convention is off by (1-s)/2 px."""
+    H, W = 9, 10
+    Hf, Wf = -(-H // 4), -(-W // 4)  # ceil-divided feature resolution
+    sx, sy = Wf / W, Hf / H
+    K = jnp.array([[12.0, 0, 0.5 * W], [0, 12.0, 0.5 * H], [0, 0, 1]])
+    Kf = mvs_lib.scale_K(K, sx, sy)
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(64, 3).astype(np.float32) * 0.3 + np.array(
+        [0, 0, -4.0], np.float32
+    )
+    c2w = jnp.eye(4)[:3, :4]
+    x, y, z, _ = mvs_lib.project_to_pixels(jnp.asarray(pts), c2w, K, H, W)
+    xf, yf, zf, _ = mvs_lib.project_to_pixels(
+        jnp.asarray(pts), c2w, Kf, Hf, Wf
+    )
+    np.testing.assert_allclose(np.asarray(xf), (np.asarray(x) + 0.5) * sx - 0.5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yf), (np.asarray(y) + 0.5) * sy - 0.5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(z), atol=1e-6)
+
+
+def test_project_to_pixels_matches_reproject_convention():
+    """models/mvs.py::project_to_pixels is the continuous analog of
+    consistency/reproject.py::world_to_ref_pixels; the two must agree on
+    the camera convention (y/z flip) or MVS depths stop interoperating
+    with the hard-mask subsystem. Binding equality test (ADVICE r4)."""
+    from consistentnerf_tpu.consistency import reproject
+
+    scene = synthetic.make_scene(n_views=3, H=16, W=16)
+    c2w = jnp.asarray(scene.poses[1])
+    c2w4 = jnp.eye(4).at[:3, :4].set(c2w)
+    w2c = jnp.linalg.inv(c2w4)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(128, 3).astype(np.float32) * 0.5)
+
+    x_c, y_c, z_c, _ = mvs_lib.project_to_pixels(
+        pts, c2w, jnp.asarray(scene.K), scene.H, scene.W
+    )
+    x_r, y_r, z_r, _ = reproject.world_to_ref_pixels(
+        pts, w2c, jnp.asarray(scene.K), scene.H, scene.W
+    )
+    np.testing.assert_allclose(np.round(np.asarray(x_c)), np.asarray(x_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.round(np.asarray(y_c)), np.asarray(y_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_c), np.asarray(z_r), rtol=1e-5)
+
+
+def test_mvs_pixel_dirs_is_core_rays_pixel_dirs():
+    """Drift guard: the module re-exports core/rays.py::pixel_dirs rather
+    than maintaining a parallel copy (ADVICE r4)."""
+    from consistentnerf_tpu.core import rays as rays_core
+
+    assert mvs_lib.pixel_dirs is rays_core.pixel_dirs
