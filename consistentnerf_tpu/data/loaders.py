@@ -268,6 +268,7 @@ def load_scene(cfg, attach=True) -> SceneData:
             H=getattr(cfg, "synthetic_hw", 64),
             W=getattr(cfg, "synthetic_hw", 64),
             texture_freq=getattr(cfg, "synthetic_texture_freq", 0.0),
+            layout=getattr(cfg, "synthetic_layout", "sphere"),
         ).to_scene_data(
             n_test=getattr(cfg, "synthetic_n_test", 2),
             interleave_test=getattr(cfg, "synthetic_interleave_test", True),

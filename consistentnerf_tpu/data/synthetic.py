@@ -66,34 +66,73 @@ class SyntheticScene:
         )
 
 
-def _sphere_trace(rays_o, rays_d, radius=1.0):
-    """Analytic ray-sphere intersection. Returns (depth, hit, normal)."""
+# Object layouts: lists of (center, radius, albedo_shift). "sphere" is
+# the single centered unit sphere every prior round's POL used; "cluster"
+# adds two offset spheres that occlude the big one (and each other) from
+# a large fraction of orbit angles — depth discontinuities + occlusion
+# boundaries, the regime where RGB-only sparse-view training hallucinates
+# floaters and the consistency priors have geometry to disambiguate.
+_LAYOUTS = {
+    "sphere": [((0.0, 0.0, 0.0), 1.0, 0.0)],
+    # Extents stay under 2.0x sphere_radius from the origin so every hit
+    # lies inside the scene's [near, far] = radius -/+ 2*sphere_radius.
+    "cluster": [
+        ((0.0, 0.0, 0.0), 1.0, 0.0),
+        ((1.35, 0.5, 0.12), 0.5, 0.35),
+        ((-0.9, -1.05, -0.22), 0.45, 0.7),
+    ],
+}
+
+
+def _sphere_trace(rays_o, rays_d, radius=1.0, layout="sphere"):
+    """Analytic nearest-hit ray trace over the layout's spheres.
+
+    Returns (depth, hit, normal, shift): depth along the *unnormalized*
+    ray parameterization (t such that o + t * rays_d hits), the hit
+    mask, surface normal of the nearest object, and its albedo shift.
+    """
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    b = 2.0 * np.sum(rays_o * d, -1)
-    c = np.sum(rays_o * rays_o, -1) - radius**2
-    disc = b * b - 4 * c
-    hit = disc > 0
-    sqrt_disc = np.sqrt(np.maximum(disc, 0))
-    t = (-b - sqrt_disc) / 2.0
-    hit = hit & (t > 0)
-    t = np.where(hit, t, 0.0)
-    pts = rays_o + t[..., None] * d
-    normal = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
-                              1e-8)
-    # Depth along the *unnormalized* ray parameterization (t_unnorm such
-    # that o + t_unnorm * rays_d hits): t / |rays_d|.
-    t_param = t / np.linalg.norm(rays_d, axis=-1)
-    return t_param, hit, normal
+    best_t = np.full(rays_o.shape[:-1], np.inf, np.float64)
+    hit = np.zeros(rays_o.shape[:-1], bool)
+    normal = np.zeros_like(d)
+    shift = np.zeros(rays_o.shape[:-1], np.float32)
+    for center, r, alb in _LAYOUTS[layout]:
+        center = np.asarray(center, np.float64) * radius  # scale w/ scene
+        r = r * radius
+        oc = rays_o - center
+        b = 2.0 * np.sum(oc * d, -1)
+        c = np.sum(oc * oc, -1) - r**2
+        disc = b * b - 4 * c
+        ok = disc > 0
+        sqrt_disc = np.sqrt(np.maximum(disc, 0))
+        t = (-b - sqrt_disc) / 2.0
+        ok = ok & (t > 0) & (t < best_t)
+        best_t = np.where(ok, t, best_t)
+        pts = rays_o + t[..., None] * d
+        n = (pts - center) / max(r, 1e-8)
+        normal = np.where(ok[..., None], n, normal)
+        shift = np.where(ok, np.float32(alb), shift)
+        hit = hit | ok
+    t = np.where(hit, best_t, 0.0)
+    t_param = (t / np.linalg.norm(rays_d, axis=-1)).astype(np.float64)
+    return t_param, hit, normal, shift
 
 
-def _shade(normal, hit, background=1.0, pts=None, texture_freq=0.0):
+def _shade(normal, hit, background=1.0, pts=None, texture_freq=0.0,
+           shift=None):
     """Color from the surface normal (distinct, smooth, view-consistent).
 
     With texture_freq > 0, modulate albedo by a procedural pattern of the
     3D hit point — high-frequency, multi-view-consistent content that makes
-    novel-view PSNR a meaningful test for high-capacity models.
+    novel-view PSNR a meaningful test for high-capacity models. `shift`
+    rolls the albedo channels per object so multi-object layouts are
+    visually distinct.
     """
     rgb = 0.5 * (normal + 1.0)
+    if shift is not None and np.any(shift > 0):
+        s = shift[..., None]
+        rolled = np.concatenate([rgb[..., 2:], rgb[..., :2]], -1)
+        rgb = (1.0 - s) * rgb + s * rolled
     if texture_freq > 0.0 and pts is not None:
         f = float(texture_freq)
         tex = 0.5 + 0.5 * np.sin(f * pts + 2.3 * np.sin(1.7 * f * pts[..., ::-1]))
@@ -113,6 +152,7 @@ def make_scene(
     white_background: bool = True,
     seed: int = 0,
     texture_freq: float = 0.0,
+    layout: str = "sphere",
 ) -> SyntheticScene:
     focal = focal or 1.2 * W
     K = np.array(
@@ -135,11 +175,13 @@ def make_scene(
         c2w = poses_lib.pose_spherical(float(theta), float(phi), radius)[:3, :4]
         rays_d = dirs_cam @ c2w[:3, :3].T
         rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
-        t, hit, normal = _sphere_trace(rays_o, rays_d, sphere_radius)
+        t, hit, normal, shift = _sphere_trace(
+            rays_o, rays_d, sphere_radius, layout=layout
+        )
         d_unit = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
         pts = rays_o + (t * np.linalg.norm(rays_d, axis=-1))[..., None] * d_unit
         img = _shade(normal, hit, 1.0 if white_background else 0.0,
-                     pts=pts, texture_freq=texture_freq)
+                     pts=pts, texture_freq=texture_freq, shift=shift)
         images.append(img.astype(np.float32))
         depths.append(t.astype(np.float32))
         poses.append(c2w.astype(np.float32))

@@ -180,7 +180,11 @@ def evaluate(
     g = int(getattr(cfg, "eval_views_per_call", 0) or 0)
     if g <= 0:
         g = 1 if all(d.platform == "cpu" for d in jax.devices()) else 4
-    g = max(1, min(g, len(selected))) if selected else 1
+    # Keep at least two groups so a warm (compile-free) window exists to
+    # measure eval_rays_per_sec over — the first group's fetch includes
+    # the jit compile and must stay out of the throughput number.
+    if selected:
+        g = max(1, min(g, (len(selected) + 1) // 2))
 
     def group_rays(group):
         rl = [camera_rays_for_view(scene, scene.poses[vi])

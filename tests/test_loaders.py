@@ -361,7 +361,7 @@ def test_synthetic_texture_is_multiview_consistent():
     c2w = sc.poses[a]
     rd = dirs @ c2w[:3, :3].T
     ro = np.broadcast_to(c2w[:3, 3], rd.shape)
-    t, hit, _ = synthetic._sphere_trace(ro, rd)
+    t, hit, _, _ = synthetic._sphere_trace(ro, rd)
     pts = ro + t[..., None] * rd
     w2c = np.linalg.inv(np.vstack([sc.poses[b], [0, 0, 0, 1]]))
     pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
@@ -445,3 +445,31 @@ def test_llff_loader_spherify_360(tmp_path):
     )
     assert np.isfinite(np.asarray(ro)).all()
     assert np.isfinite(np.asarray(rd)).all()
+
+
+def test_synthetic_cluster_layout_occludes():
+    from consistentnerf_tpu.data import synthetic
+    """The 'cluster' layout must produce genuine occlusions (a near
+    object in front of the unit sphere on some rays) with exact depths
+    inside [near, far] — the sparse-view failure regime scene."""
+    sc = synthetic.make_scene(n_views=6, H=48, W=48, layout="cluster")
+    base = synthetic.make_scene(n_views=6, H=48, W=48, layout="sphere")
+    hit = sc.depths > 0
+    assert hit.mean() > base.masks.mean()  # more coverage than one sphere
+    d = sc.depths[hit]
+    assert d.min() >= sc.near and d.max() <= sc.far
+    # Occlusion: pixels where both layouts hit but cluster is nearer
+    # (a small sphere in front of the big one).
+    both = hit & base.masks
+    occluded = (base.depths[both] - sc.depths[both]) > 0.05
+    assert occluded.mean() > 0.01, occluded.mean()
+    # Cross-view consistency of the multi-object depth: reuse the
+    # reprojection identity — project view-0 foreground into view 1 and
+    # z-test against view 1's own depth (no occlusion -> agreement).
+    from consistentnerf_tpu.consistency import reproject
+    masks = reproject.compute_hard_masks(
+        sc.poses, sc.depths, sc.K, np.arange(6), sc.H, sc.W,
+        occlusion_threshold=0.1,
+    )
+    cov = np.asarray(masks).mean()
+    assert 0.05 < cov < 0.9, cov
