@@ -91,15 +91,18 @@ def _sphere_trace(rays_o, rays_d, radius=1.0, layout="sphere"):
     ray parameterization (t such that o + t * rays_d hits), the hit
     mask, surface normal of the nearest object, and its albedo shift.
     """
+    # All-float32 arithmetic: the single-sphere layout bit-matches the
+    # original generator (several toy-scale tests are calibrated on the
+    # exact draw-for-draw scene bits).
     d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    best_t = np.full(rays_o.shape[:-1], np.inf, np.float64)
+    best_t = np.full(rays_o.shape[:-1], np.inf, np.float32)
     hit = np.zeros(rays_o.shape[:-1], bool)
     normal = np.zeros_like(d)
     shift = np.zeros(rays_o.shape[:-1], np.float32)
     for center, r, alb in _LAYOUTS[layout]:
-        center = np.asarray(center, np.float64) * radius  # scale w/ scene
-        r = r * radius
-        oc = rays_o - center
+        center = np.asarray(center, np.float32) * np.float32(radius)
+        r = np.float32(r * radius)
+        oc = (rays_o - center).astype(np.float32)
         b = 2.0 * np.sum(oc * d, -1)
         c = np.sum(oc * oc, -1) - r**2
         disc = b * b - 4 * c
@@ -107,14 +110,16 @@ def _sphere_trace(rays_o, rays_d, radius=1.0, layout="sphere"):
         sqrt_disc = np.sqrt(np.maximum(disc, 0))
         t = (-b - sqrt_disc) / 2.0
         ok = ok & (t > 0) & (t < best_t)
-        best_t = np.where(ok, t, best_t)
+        best_t = np.where(ok, t, best_t).astype(np.float32)
         pts = rays_o + t[..., None] * d
-        n = (pts - center) / max(r, 1e-8)
+        pc = pts - center
+        n = pc / np.maximum(np.linalg.norm(pc, axis=-1, keepdims=True),
+                            1e-8)
         normal = np.where(ok[..., None], n, normal)
         shift = np.where(ok, np.float32(alb), shift)
         hit = hit | ok
     t = np.where(hit, best_t, 0.0)
-    t_param = (t / np.linalg.norm(rays_d, axis=-1)).astype(np.float64)
+    t_param = t / np.linalg.norm(rays_d, axis=-1)
     return t_param, hit, normal, shift
 
 

@@ -1,0 +1,163 @@
+"""Round-5 consistency ablation, consolidated into ONE TPU process.
+
+The per-process queue (tpu_queue_r5a.sh) paid 20-30 min of device-grant
++ remote-compile latency per leg; this driver holds one grant and runs
+every remaining arm sequentially, reusing the in-process jit cache where
+programs repeat. Results append to tools/runs/logs_r5/ablate_results.txt
+as one line per arm; fold them into RUNS_r5.md.
+
+Usage: python tools/runs/ablate_r5.py [arm ...]   (default: all remaining)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "logs_r5", "ablate_results.txt")
+
+A = dict(hardmask=False, with_depth_loss=False, n_patches=0)
+B = dict(with_depth_loss=False, n_patches=0)
+C = dict(n_patches=0)
+D = {}
+TAIL = dict(synthetic_interleave_test=False)
+SPARSE = dict(synthetic_views=8, synthetic_n_test=4,
+              synthetic_interleave_test=False)
+
+ARMS = {
+    "abl_a_tail": {**A, **TAIL},
+    "abl_d_tail": {**D, **TAIL},
+    "abl_b_tail": {**B, **TAIL},
+    "abl_c_tail": {**C, **TAIL},
+    "abl_b_int": B,
+    "abl_c_int": C,
+    "abl_a_sparse": {**A, **SPARSE},
+    "abl_d_sparse": {**D, **SPARSE},
+}
+
+
+class _Args:
+    config = None
+    overrides = []
+    num_steps = None
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def record(line):
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+    log(line)
+
+
+def run_vanilla_arm(name, overrides, num_steps=8000):
+    import jax
+
+    from consistentnerf_tpu.cli import common
+    from consistentnerf_tpu.configs import scenes
+    from consistentnerf_tpu.data.loaders import load_scene
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train.evaluation import evaluate
+
+    cfg = scenes.get_scene_config("synthetic_pol").replace(
+        basedir=f"/tmp/r5_{name}", expname=name, i_print=1000,
+        checkpoint_every=10**9, use_tensorboard=False,
+        eval_disable_lpips=True, **overrides,
+    )
+    cfg = common.auto_fused_defaults(cfg, _Args())
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
+    scene = load_scene(cfg)
+    log(f"{name}: scene ready (train {len(scene.i_train)} / "
+        f"test {len(scene.i_test)}), training {num_steps}")
+    t0 = time.time()
+    result = loop_lib.train(cfg, scene, num_steps=num_steps, log_fn=log)
+    train_secs = time.time() - t0
+    model = make_model(cfg)
+    t0 = time.time()
+    metrics = evaluate(
+        model, cfg, result.state.params, scene,
+        out_dir=os.path.join(cfg.basedir, cfg.expname, "test_preds"),
+        save_images=False, step=num_steps,
+    )
+    record(
+        f"{name}: psnr={metrics['psnr']:.4f} ssim={metrics['ssim']:.4f} "
+        f"census={metrics.get('census_err', float('nan')):.4f} "
+        f"train_rays_s={result.rays_per_sec:,.0f} "
+        f"eval_rays_s={metrics.get('eval_rays_per_sec', 0):,.0f} "
+        f"train_wall={train_secs:.0f}s eval_wall={time.time()-t0:.0f}s"
+    )
+
+
+def run_mip_pol(num_steps=8000):
+    import jax
+
+    from consistentnerf_tpu.cli import common
+    from consistentnerf_tpu.configs import scenes
+    from consistentnerf_tpu.data.loaders import load_scene
+    from consistentnerf_tpu.data.random_poses import generate_random_poses
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train.evaluation import evaluate
+
+    name = "pol_mip_8k"
+    cfg = scenes.get_scene_config("synthetic_pol_mip").replace(
+        basedir=f"/tmp/r5_{name}", expname=name, i_print=250,
+        checkpoint_every=10**9, use_tensorboard=False,
+        eval_disable_lpips=True, total_iters=num_steps,
+        anneal_nearfar_steps=256,
+    )
+    cfg = common.auto_fused_defaults(cfg, _Args())
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
+    scene = load_scene(cfg)
+    random_poses = generate_random_poses(
+        scene.poses[scene.i_train], n_poses=cfg.n_random_poses,
+        pose_type=cfg.random_pose_type, radius=cfg.random_pose_radius,
+        focusptjitter=cfg.random_pose_focusptjitter,
+        add_test_poses=cfg.random_pose_add_test_poses,
+        test_poses=scene.poses[scene.i_test],
+    )
+    log(f"{name}: training {num_steps} (regnerf3 recipe, anneal 256)")
+    t0 = time.time()
+    result = loop_lib.train(cfg, scene, num_steps=num_steps,
+                            random_poses=random_poses, log_fn=log)
+    train_secs = time.time() - t0
+    model = make_model(cfg)
+    metrics = evaluate(
+        model, cfg, result.state.params, scene,
+        out_dir=os.path.join(cfg.basedir, cfg.expname, "test_preds"),
+        save_images=False, step=num_steps,
+    )
+    record(
+        f"{name}: psnr={metrics['psnr']:.4f} ssim={metrics['ssim']:.4f} "
+        f"census={metrics.get('census_err', float('nan')):.4f} "
+        f"train_rays_s={result.rays_per_sec:,.0f} "
+        f"eval_rays_s={metrics.get('eval_rays_per_sec', 0):,.0f} "
+        f"train_wall={train_secs:.0f}s"
+    )
+
+
+def main():
+    wanted = sys.argv[1:] or (list(ARMS) + ["pol_mip_8k"])
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    log(f"devices: {jax.devices()}")
+    for name in wanted:
+        try:
+            if name == "pol_mip_8k":
+                run_mip_pol()
+            else:
+                run_vanilla_arm(name, ARMS[name])
+        except Exception as e:  # noqa: BLE001 — record and continue
+            record(f"{name}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
