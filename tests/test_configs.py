@@ -100,3 +100,18 @@ def test_export_configs_cli(tmp_path):
     assert (tmp_path / "configs" / "regnerf3" / "dtu_scan114.json").is_file()
     cfg = load_config(str(tmp_path / "configs_3view" / "lego.json"))
     assert cfg.train_view_num == 3
+
+
+def test_override_python_style_booleans():
+    """`--set hardmask=False` must coerce to bool(False), not the TRUTHY
+    string "False" (json.loads only accepts lowercase) — this silently
+    inverted a measurement run's flags (RUNS_r5.md)."""
+    from consistentnerf_tpu.configs import Config, parse_overrides
+
+    c = parse_overrides(Config(hardmask=True), ["hardmask=False"])
+    assert c.hardmask is False
+    c = parse_overrides(Config(), ["hardmask=TRUE", "softmask=false"])
+    assert c.hardmask is True and c.softmask is False
+    # Plain strings still pass through.
+    c = parse_overrides(Config(), ["expname=Falsehood"])
+    assert c.expname == "Falsehood"

@@ -27,7 +27,21 @@ TAIL = dict(synthetic_interleave_test=False)
 SPARSE = dict(synthetic_views=8, synthetic_n_test=4,
               synthetic_interleave_test=False)
 
+# The paper's mechanism targets FEW-view interpolation on non-trivial
+# geometry (3-view DTU): few train views spread over the orbit, test
+# between them, occluded multi-object scene. "clu6" is that regime on
+# the analytic cluster layout (4 train views, flagship capacity — the
+# round-4 memorization axis); "clu16_tail" the extrapolation variant.
+CLU6 = dict(synthetic_layout="cluster", synthetic_views=6,
+            synthetic_n_test=2, synthetic_interleave_test=True)
+CLU16T = dict(synthetic_layout="cluster", synthetic_interleave_test=False)
+
 ARMS = {
+    # Rerun: the shell queue's abl_a_int passed `hardmask=False` as the
+    # truthy STRING "False" (coercion bug, fixed in configs._coerce), so
+    # its recorded number was actually arm c. This entry is the genuine
+    # vanilla-only interleaved arm.
+    "abl_a_int": A,
     "abl_a_tail": {**A, **TAIL},
     "abl_d_tail": {**D, **TAIL},
     "abl_b_tail": {**B, **TAIL},
@@ -36,6 +50,12 @@ ARMS = {
     "abl_c_int": C,
     "abl_a_sparse": {**A, **SPARSE},
     "abl_d_sparse": {**D, **SPARSE},
+    "abl_a_clu6": {**A, **CLU6},
+    "abl_c_clu6": {**C, **CLU6},
+    "abl_d_clu6": {**D, **CLU6},
+    "abl_a_clu16_tail": {**A, **CLU16T},
+    "abl_c_clu16_tail": {**C, **CLU16T},
+    "abl_d_clu16_tail": {**D, **CLU16T},
 }
 
 
