@@ -49,11 +49,15 @@ ARMS = {
     "abl_b_int": B,
     "abl_c_int": C,
     "abl_a_sparse": {**A, **SPARSE},
+    "abl_b_sparse": {**B, **SPARSE},
+    "abl_c_sparse": {**C, **SPARSE},
     "abl_d_sparse": {**D, **SPARSE},
     "abl_a_clu6": {**A, **CLU6},
+    "abl_b_clu6": {**B, **CLU6},
     "abl_c_clu6": {**C, **CLU6},
     "abl_d_clu6": {**D, **CLU6},
     "abl_a_clu16_tail": {**A, **CLU16T},
+    "abl_b_clu16_tail": {**B, **CLU16T},
     "abl_c_clu16_tail": {**C, **CLU16T},
     "abl_d_clu16_tail": {**D, **CLU16T},
 }
@@ -115,7 +119,7 @@ def run_vanilla_arm(name, overrides, num_steps=8000):
     )
 
 
-def run_mip_pol(num_steps=8000):
+def run_mip_pol(num_steps=8000, overrides=None, name="pol_mip_8k"):
     import jax
 
     from consistentnerf_tpu.cli import common
@@ -126,12 +130,11 @@ def run_mip_pol(num_steps=8000):
     from consistentnerf_tpu.train import loop as loop_lib
     from consistentnerf_tpu.train.evaluation import evaluate
 
-    name = "pol_mip_8k"
     cfg = scenes.get_scene_config("synthetic_pol_mip").replace(
         basedir=f"/tmp/r5_{name}", expname=name, i_print=250,
         checkpoint_every=10**9, use_tensorboard=False,
         eval_disable_lpips=True, total_iters=num_steps,
-        anneal_nearfar_steps=256,
+        anneal_nearfar_steps=256, **(overrides or {}),
     )
     cfg = common.auto_fused_defaults(cfg, _Args())
     os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
@@ -143,7 +146,8 @@ def run_mip_pol(num_steps=8000):
         add_test_poses=cfg.random_pose_add_test_poses,
         test_poses=scene.poses[scene.i_test],
     )
-    log(f"{name}: training {num_steps} (regnerf3 recipe, anneal 256)")
+    log(f"{name}: training {num_steps} (regnerf3 recipe, anneal 256, "
+        f"overrides={overrides or {}})")
     t0 = time.time()
     result = loop_lib.train(cfg, scene, num_steps=num_steps,
                             random_poses=random_poses, log_fn=log)
@@ -163,6 +167,99 @@ def run_mip_pol(num_steps=8000):
     )
 
 
+# Mip early-oscillation probes (VERDICT item 2): reproduce the FAILING
+# regime — the 8k lr horizon keeps lr ~4x hotter through the step
+# 500-1500 instability window than the converged 3k run (TV-norm start
+# weight and lr warmup both end by step 512 regardless of horizon, so
+# the horizon's only lever is how fast lr cools). 2k steps at the 8k
+# horizon shows the collapse by step ~1000 (measured: psnr 3.65 @1000 in
+# pol_mip_8k); each probe flips ONE axis.
+MIP_PROBES = {
+    "m_base": {},                              # J-style control: diverges
+    "m_lr1e3": dict(lr_init=1e-3),             # halve the lr peak
+    "m_tv40": dict(depth_tvnorm_loss_mult_start=40.0),  # 10x softer TV start
+    "m_nonoise": dict(density_noise=0.0),      # kill the logit noise
+    "m_delay2k": dict(lr_delay_steps=2048),    # 4x longer lr warmup
+}
+
+
+def run_mip_probe(name, overrides, num_steps=2000, total_iters=8000):
+    import jax
+
+    from consistentnerf_tpu.cli import common
+    from consistentnerf_tpu.configs import scenes
+    from consistentnerf_tpu.data.loaders import load_scene
+    from consistentnerf_tpu.data.random_poses import generate_random_poses
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train.evaluation import evaluate
+
+    cfg = scenes.get_scene_config("synthetic_pol_mip").replace(
+        basedir=f"/tmp/r5_{name}", expname=name, i_print=250,
+        checkpoint_every=10**9, use_tensorboard=False,
+        eval_disable_lpips=True, total_iters=total_iters,
+        anneal_nearfar_steps=256, **overrides,
+    )
+    cfg = common.auto_fused_defaults(cfg, _Args())
+    os.makedirs(os.path.join(cfg.basedir, cfg.expname), exist_ok=True)
+    scene = load_scene(cfg)
+    random_poses = generate_random_poses(
+        scene.poses[scene.i_train], n_poses=cfg.n_random_poses,
+        pose_type=cfg.random_pose_type, radius=cfg.random_pose_radius,
+        focusptjitter=cfg.random_pose_focusptjitter,
+        add_test_poses=cfg.random_pose_add_test_poses,
+        test_poses=scene.poses[scene.i_test],
+    )
+    log(f"{name}: mip probe {overrides} steps={num_steps}/{total_iters}")
+    t0 = time.time()
+    result = loop_lib.train(cfg, scene, num_steps=num_steps,
+                            random_poses=random_poses, log_fn=log)
+    train_secs = time.time() - t0
+    model = make_model(cfg)
+    metrics = evaluate(
+        model, cfg, result.state.params, scene,
+        out_dir=os.path.join(cfg.basedir, cfg.expname, "test_preds"),
+        save_images=False, step=num_steps,
+    )
+    record(
+        f"{name}: psnr={metrics['psnr']:.4f} ssim={metrics['ssim']:.4f} "
+        f"(probe @{num_steps}/{total_iters}) "
+        f"train_rays_s={result.rays_per_sec:,.0f} wall={train_secs:.0f}s"
+    )
+
+
+def run_eval_sweep():
+    """VERDICT item 6: eval_rays_per_sec vs eval_views_per_call at POL
+    scale (128px), same trained-free throughput measurement for g=1
+    (round-4 per-view semantics) vs the stacked g=2/4 dispatch."""
+    import jax
+
+    from consistentnerf_tpu.cli import common
+    from consistentnerf_tpu.configs import scenes
+    from consistentnerf_tpu.data.loaders import load_scene
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import loop as loop_lib
+    from consistentnerf_tpu.train.evaluation import evaluate
+
+    cfg0 = scenes.get_scene_config("synthetic_pol").replace(
+        basedir="/tmp/r5_evalsweep", expname="evsweep",
+        synthetic_n_test=8, use_tensorboard=False,
+        eval_disable_lpips=True, eval_save_output=False,
+    )
+    cfg0 = common.auto_fused_defaults(cfg0, _Args())
+    scene = load_scene(cfg0)
+    model = make_model(cfg0)
+    batcher = loop_lib.make_batcher(scene, cfg0)
+    state = loop_lib.init_state(cfg0, model, batcher.next_batch())
+    for g in (1, 2, 4):
+        cfg = cfg0.replace(eval_views_per_call=g)
+        metrics = evaluate(model, cfg, state.params, scene,
+                           out_dir=None, save_images=False, step=0)
+        record(f"evalsweep_g{g}: eval_rays_s="
+               f"{metrics.get('eval_rays_per_sec', 0):,.0f} "
+               f"(8 views @128px, random init)")
+
+
 def main():
     wanted = sys.argv[1:] or (list(ARMS) + ["pol_mip_8k"])
     import jax
@@ -173,6 +270,10 @@ def main():
         try:
             if name == "pol_mip_8k":
                 run_mip_pol()
+            elif name == "evalsweep":
+                run_eval_sweep()
+            elif name in MIP_PROBES:
+                run_mip_probe(name, MIP_PROBES[name])
             else:
                 run_vanilla_arm(name, ARMS[name])
         except Exception as e:  # noqa: BLE001 — record and continue
