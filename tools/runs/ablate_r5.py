@@ -270,6 +270,11 @@ def main():
         try:
             if name == "pol_mip_8k":
                 run_mip_pol()
+            elif name == "pol_mip_8k_lr1e3":
+                # The fix the one-axis probes isolated: halving the lr
+                # peak (m_lr1e3 read 25.23/0.925 at 2k of the 8k
+                # horizon while the 2e-3 control collapsed to 7.78).
+                run_mip_pol(overrides=dict(lr_init=1e-3), name=name)
             elif name == "evalsweep":
                 run_eval_sweep()
             elif name in MIP_PROBES:
