@@ -185,6 +185,49 @@ def bench_render() -> dict:
     }
 
 
+def bench_eval() -> dict:
+    """Full evaluate() throughput — stacked renders + the on-device
+    jitted metric suite (PSNR/SSIM/census) with a single end fetch
+    (RUNS_r5.md §4). The surface RegNeRF logs as eval speed
+    (train.py:518-521); the reference's eval is its render loop plus
+    host metrics, so the render-class anchor (75k rays/s, generous)
+    UNDERSTATES the speedup. One trial only: the warm window already
+    excludes the compiles, and repeating the identical execution risks
+    the relay cache (CLAUDE.md timing caveats)."""
+    jax = _setup_jax()
+    import numpy as np
+
+    from consistentnerf_tpu.configs import Config
+    from consistentnerf_tpu.data import synthetic
+    from consistentnerf_tpu.data.pipeline import VanillaBatcher
+    from consistentnerf_tpu.models.factory import make_model
+    from consistentnerf_tpu.train import evaluation
+    from consistentnerf_tpu.train import loop as loop_lib
+
+    cfg = Config(
+        backbone="vanilla", N_samples=64, N_importance=128,
+        white_bkgd=True, use_tensorboard=False, compute_dtype="bfloat16",
+        render_chunk_size=8192, use_fused_render=True, fused_tile=1024,
+        eval_disable_lpips=True, eval_save_output=False,
+    )
+    cfg = _apply_fallback(cfg)
+    scene = synthetic.make_scene(n_views=12, H=128, W=128).to_scene_data()
+    model = make_model(cfg)
+    batch = VanillaBatcher(scene, cfg).next_batch()
+    state = loop_lib.init_state(cfg, model, batch)
+    metrics = evaluation.evaluate(
+        model, cfg, state.params, scene, out_dir=None,
+        views=np.arange(len(scene.images)), save_images=False, step=0,
+    )
+    rps = float(metrics.get("eval_rays_per_sec", 0.0))
+    return {
+        "metric": "eval_rays_per_sec_vanilla_64c128f",
+        "value": round(rps, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rps / 75_000.0, 3),
+    }
+
+
 def bench_mip() -> dict:
     jax = _setup_jax()
     from consistentnerf_tpu.configs import Config
@@ -359,7 +402,8 @@ def main():
         # vanilla-train headline + render/mip in `extras`.
         line = _guarded(bench_train)
         line["extras"] = {"render": _guarded(bench_render),
-                          "mip": _guarded(bench_mip)}
+                          "mip": _guarded(bench_mip),
+                          "eval": _guarded(bench_eval)}
         print(json.dumps(line))
     else:
         print(json.dumps(_guarded(fns[args.mode])))

@@ -214,6 +214,11 @@ def _build_registry() -> Dict[str, Config]:
         anneal_nearfar_steps=256,
         anneal_nearfar_perc=0.0001,
         anneal_mid_perc=1.0,
+        # The grid files' lr_init=2e-3 is tuned for 70k+ horizons; at
+        # short (<=8k) horizons it holds >1e-3 through the post-anneal
+        # window and the trunk collapses (RUNS_r5.md §1b one-axis
+        # probes: 2e-3 -> 7.78 PSNR, 1e-3 -> 26.71 at 8k steps).
+        lr_init=1e-3,
     )
     return reg
 

@@ -244,3 +244,57 @@ def test_evaluate_stacked_dispatch_matches_per_view(trained, tmp_path):
                                    err_msg=k)
     # The stacked path still writes the per-view artifacts.
     assert os.path.isfile(str(tmp_path / "st" / "color_002.png"))
+
+
+def test_evaluate_deferred_metrics_match_artifact_path(trained, tmp_path):
+    """With no image artifacts requested, evaluate() runs the metric
+    suite as jitted on-device graphs enqueued behind the renders with a
+    single fetch (the eval-throughput fix, RUNS_r5.md §4); the metric
+    values must match the blocking artifact path."""
+    scene, cfg, model, state = trained
+    views = np.array([0, 2, 4])
+    blocking = evaluation.evaluate(
+        model, cfg.replace(eval_views_per_call=2), state.params, scene,
+        out_dir=str(tmp_path / "a"), views=views,
+    )
+    deferred = evaluation.evaluate(
+        model, cfg.replace(eval_views_per_call=2), state.params, scene,
+        out_dir=str(tmp_path / "b"), views=views, save_images=False,
+    )
+    for k in blocking:
+        if k == "eval_rays_per_sec":
+            continue
+        np.testing.assert_allclose(deferred[k], blocking[k], atol=1e-5,
+                                   err_msg=k)
+    # The deferred run still writes the metric txt artifacts.
+    assert os.path.isfile(str(tmp_path / "b" / "metrics.txt"))
+    assert not os.path.isfile(str(tmp_path / "b" / "color_000.png"))
+
+
+def test_evaluate_deferred_masked_fallback(trained, tmp_path):
+    """Per-view eval masks (the DTU-masked suite) route the deferred
+    path through per-view metric dispatches; masked metrics must match
+    the blocking artifact path."""
+    import dataclasses
+
+    scene, cfg, model, state = trained
+    masks = np.zeros(scene.images.shape[:3], np.float32)
+    masks[:, 8:24, 8:24] = 1.0
+    scene_m = dataclasses.replace(scene, masks=masks)
+    cfg_m = cfg.replace(dataset_type="dtu", dtu_no_mask_eval=False,
+                        eval_views_per_call=2)
+    views = np.array([0, 2, 4])
+    blocking = evaluation.evaluate(
+        model, cfg_m, state.params, scene_m,
+        out_dir=str(tmp_path / "a"), views=views,
+    )
+    deferred = evaluation.evaluate(
+        model, cfg_m, state.params, scene_m,
+        out_dir=None, views=views, save_images=False,
+    )
+    assert "masked_psnr" in deferred and "masked_ssim" in deferred
+    for k in blocking:
+        if k == "eval_rays_per_sec":
+            continue
+        np.testing.assert_allclose(deferred[k], blocking[k], atol=1e-5,
+                                   err_msg=k)
