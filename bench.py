@@ -2,7 +2,7 @@
 accelerator. Prints ONE JSON line (the driver contract). The default
 mode measures all three surfaces and reports the vanilla-train headline
 with `extras` carrying the render and mip numbers from the same claim;
-`--mode train|render|mip` measures a single surface.
+`--mode train|render|mip|eval` measures a single surface.
 
 Modes:
   train  (default) — ConsistentNeRF vanilla trainer at production budget
@@ -14,6 +14,8 @@ Modes:
          rays/sec.
   mip    — mip/RegNeRF backbone train step (96x2 samples, 4x16x16 patch
          batch + TV-norm random patches), rays/sec.
+  eval   — full evaluate() throughput: stacked renders + the on-device
+         jitted metric suite with one end fetch (RUNS_r5.md §4).
 
 Baseline (vs_baseline denominator): the reference publishes no numbers
 (BASELINE.md), so 25,000 rays/sec is used as the reference-class anchor
@@ -393,10 +395,11 @@ def _apply_fallback(cfg):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["train", "render", "mip", "all"],
+    p.add_argument("--mode", choices=["train", "render", "mip", "eval", "all"],
                    default="all")
     args = p.parse_args()
-    fns = {"train": bench_train, "render": bench_render, "mip": bench_mip}
+    fns = {"train": bench_train, "render": bench_render,
+           "mip": bench_mip, "eval": bench_eval}
     if args.mode == "all":
         # One JSON line carrying the whole perf surface from one claim:
         # vanilla-train headline + render/mip in `extras`.

@@ -35,6 +35,11 @@ SPARSE = dict(synthetic_views=8, synthetic_n_test=4,
 CLU6 = dict(synthetic_layout="cluster", synthetic_views=6,
             synthetic_n_test=2, synthetic_interleave_test=True)
 CLU16T = dict(synthetic_layout="cluster", synthetic_interleave_test=False)
+# Few-view INTERPOLATION — the paper's core regime (3-view DTU,
+# README.md:24): 4 train views spread over the orbit, 4 test views
+# between them, simple geometry so PSNR is not floor-bound (clu6 was).
+FEW8I = dict(synthetic_views=8, synthetic_n_test=4,
+             synthetic_interleave_test=True)
 
 ARMS = {
     # Rerun: the shell queue's abl_a_int passed `hardmask=False` as the
@@ -60,6 +65,10 @@ ARMS = {
     "abl_b_clu16_tail": {**B, **CLU16T},
     "abl_c_clu16_tail": {**C, **CLU16T},
     "abl_d_clu16_tail": {**D, **CLU16T},
+    "abl_a_few8int": {**A, **FEW8I},
+    "abl_b_few8int": {**B, **FEW8I},
+    "abl_c_few8int": {**C, **FEW8I},
+    "abl_d_few8int": {**D, **FEW8I},
 }
 
 
