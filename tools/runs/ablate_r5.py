@@ -40,6 +40,8 @@ CLU16T = dict(synthetic_layout="cluster", synthetic_interleave_test=False)
 # between them, simple geometry so PSNR is not floor-bound (clu6 was).
 FEW8I = dict(synthetic_views=8, synthetic_n_test=4,
              synthetic_interleave_test=True)
+# Right-sized capacity for few-view scenes (round-4 queue F axis).
+CAP128 = dict(netdepth=4, netwidth=128)
 
 ARMS = {
     # Rerun: the shell queue's abl_a_int passed `hardmask=False` as the
@@ -69,6 +71,16 @@ ARMS = {
     "abl_b_few8int": {**B, **FEW8I},
     "abl_c_few8int": {**C, **FEW8I},
     "abl_d_few8int": {**D, **FEW8I},
+    # Capacity-matched sparse arms: round-4 queue F showed the 8x256
+    # flagship memorizes few-view scenes while 4x128 generalizes. If the
+    # sparse-split win (c 12.80 vs a 8.92 at 8x256) persists at the
+    # right-sized capacity, the method's value is not a capacity
+    # artifact; if the margin grows, capacity was masking it.
+    "abl_a_sparse_cap": {**A, **SPARSE, **CAP128},
+    "abl_c_sparse_cap": {**C, **SPARSE, **CAP128},
+    "abl_d_sparse_cap": {**D, **SPARSE, **CAP128},
+    "abl_a_few8int_cap": {**A, **FEW8I, **CAP128},
+    "abl_c_few8int_cap": {**C, **FEW8I, **CAP128},
 }
 
 
