@@ -304,3 +304,22 @@ def test_mvs_pixel_dirs_is_core_rays_pixel_dirs():
     from consistentnerf_tpu.core import rays as rays_core
 
     assert mvs_lib.pixel_dirs is rays_core.pixel_dirs
+
+
+def test_prior_depths_never_supervise_as_gt(scene):
+    """Circularity guard (ADVICE r4): a scene whose depths are LOADED
+    priors (depth_is_gt=False, e.g. external PFMs attached by the
+    blender/LLFF loaders) must train the MVS net photometrically — never
+    on the priors it is meant to replace. GT-flagged depths (synthetic,
+    DTU scans) do use GT supervision."""
+    cfg = _tiny_cfg()
+    logs = []
+    assert scene.depth_is_gt  # synthetic analytic depth IS ground truth
+    mvs_train.train_mvs_depth(cfg, scene, num_steps=1, log_fn=logs.append)
+    assert any("GT-supervised" in s for s in logs), logs
+
+    prior_scene = dataclasses.replace(scene, depth_is_gt=False)
+    logs = []
+    mvs_train.train_mvs_depth(cfg, prior_scene, num_steps=1,
+                              log_fn=logs.append)
+    assert any("photometric self-supervised" in s for s in logs), logs
