@@ -81,6 +81,17 @@ ARMS = {
     "abl_d_sparse_cap": {**D, **SPARSE, **CAP128},
     "abl_a_few8int_cap": {**A, **FEW8I, **CAP128},
     "abl_c_few8int_cap": {**C, **FEW8I, **CAP128},
+    # Cluster-sparse: the one-sided split on the OCCLUDED multi-object
+    # layout, at both capacities. The sphere's sparse-cap reversal
+    # (a_cap 16.49 > c_cap 12.13) says right-sizing beats the prior when
+    # the geometry is trivial; if the prior wins here at 4x128 too, the
+    # method's value is geometry-complexity-, not capacity-, bound.
+    "abl_a_cluspar": {**A, **SPARSE, "synthetic_layout": "cluster"},
+    "abl_c_cluspar": {**C, **SPARSE, "synthetic_layout": "cluster"},
+    "abl_a_cluspar_cap": {**A, **SPARSE, **CAP128,
+                          "synthetic_layout": "cluster"},
+    "abl_c_cluspar_cap": {**C, **SPARSE, **CAP128,
+                          "synthetic_layout": "cluster"},
 }
 
 
@@ -186,6 +197,22 @@ def run_mip_pol(num_steps=8000, overrides=None, name="pol_mip_8k"):
         f"eval_rays_s={metrics.get('eval_rays_per_sec', 0):,.0f} "
         f"train_wall={train_secs:.0f}s"
     )
+
+
+# Mip-backbone consistency ablation (the grid above is vanilla-backbone;
+# the reference's RegNeRF side carries the same masked depth supervision
+# at RegNeRF/train.py:97-241). Arm a strips every consistency term but
+# keeps the backbone's own TV geometry regularizer (that's RegNeRF's
+# baseline, not ConsistentNeRF's contribution); arm c is the preset
+# default (hardmask + masked depth prior).
+MIP_OFF = dict(use_hardmask=False, compute_depth_metrics=False,
+               compute_mono_depth_metrics=False)
+MIP_ARMS = {
+    "mip_a_sparse": {**MIP_OFF, **SPARSE},
+    "mip_c_sparse": {**SPARSE},
+    "mip_a_int": dict(MIP_OFF),
+    # mip_c_int == the committed pol_mip_8k_lr1e3 run (26.71/0.943).
+}
 
 
 # Mip early-oscillation probes (VERDICT item 2): reproduce the FAILING
@@ -298,6 +325,8 @@ def main():
                 run_mip_pol(overrides=dict(lr_init=1e-3), name=name)
             elif name == "evalsweep":
                 run_eval_sweep()
+            elif name in MIP_ARMS:
+                run_mip_pol(overrides=MIP_ARMS[name], name=name)
             elif name in MIP_PROBES:
                 run_mip_probe(name, MIP_PROBES[name])
             else:
