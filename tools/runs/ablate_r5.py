@@ -323,6 +323,18 @@ def main():
                 # peak (m_lr1e3 read 25.23/0.925 at 2k of the 8k
                 # horizon while the 2e-3 control collapsed to 7.78).
                 run_mip_pol(overrides=dict(lr_init=1e-3), name=name)
+            elif name == "pol_van_50k":
+                # The reference's FULL vanilla schedule length
+                # (run_nerf_view.py total_iters=50001) on the flagship
+                # config — ~40 min at the one-pass rate.
+                run_vanilla_arm(name, dict(total_iters=50000),
+                                num_steps=50000)
+            elif name == "pol_mip_50k":
+                # The grid's native lr_init=2e-3 at its DESIGNED horizon
+                # (50k, regnerf3 gin files) — validates §1b's diagnosis
+                # that 2e-3 only diverges on short horizons.
+                run_mip_pol(num_steps=50000,
+                            overrides=dict(lr_init=2e-3), name=name)
             elif name == "evalsweep":
                 run_eval_sweep()
             elif name in MIP_ARMS:
